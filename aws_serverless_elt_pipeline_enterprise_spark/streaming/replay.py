@@ -1,0 +1,189 @@
+"""CDC replay: tail the change log and merge every epoch exactly once.
+
+This is the Spark restatement of the reference's whole pipeline (SURVEY.md
+§3.1): the four network hops (S3 -> Lambda -> SQS -> Lambda -> S3) collapse
+into one lineage per micro-batch::
+
+    read epoch -> quarantine split -> dedup(doc_id, seq)
+               -> per-key LWW reduce (salted)
+               -> MERGE into snapshot table (epoch-idempotent commit)
+
+Exactly-once: the TABLE is the source of truth (commit-then-checkpoint
+ordering). An epoch whose ID is already in the latest manifest is skipped,
+so killing the job between table commit and checkpoint write — the classic
+crash window — reproduces the same final state on resume. This mirrors the
+reference's verify-idempotency golden property (Makefile:344-359: invoke
+ingest twice with the identical event; the second must skip).
+
+Two drivers are provided:
+  * ``run_replay``            — batch loop over epoch dirs (foreachBatch
+                                semantics, deterministic epoch order, full
+                                schema-evolution support).
+  * ``run_replay_streaming``  — genuine Structured Streaming: file source +
+                                availableNow trigger + watermarked
+                                dropDuplicatesWithinWatermark + foreachBatch
+                                merge (fixed-schema logs; the file source
+                                cannot change schema mid-stream).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_serverless_elt_pipeline_enterprise_spark.operators.dedup import (
+    dedup_events,
+    dedup_events_stream,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.operators.lww import lww_reduce
+from aws_serverless_elt_pipeline_enterprise_spark.operators.normalize import (
+    split_quarantine,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.quality.gates import (
+    repair_ntok,
+    run_dq_gate,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import list_batches
+from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import SnapshotTable
+
+ENVELOPE_COLS = ("op", "seq", "batch_id")
+
+
+@dataclass
+class ReplayResult:
+    epochs_applied: list[str] = field(default_factory=list)
+    epochs_skipped: list[str] = field(default_factory=list)
+    lineage: list[dict] = field(default_factory=list)
+    quarantined: int = 0
+
+
+def _quarantine_write(bad: DataFrame, quarantine_dir: str, epoch_id: str) -> None:
+    """Epoch-idempotent reject sink (the DLQ translation, D2): one dir per
+    epoch, atomically renamed into place, skipped if already present."""
+    path = os.path.join(quarantine_dir, f"epoch={epoch_id}")
+    if os.path.exists(path):
+        return
+    tmp = path + ".tmp"
+    bad.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, path)
+
+
+def apply_epoch(
+    table: SnapshotTable,
+    events: DataFrame,
+    epoch_id: str,
+    quarantine_dir: str | None = None,
+    salted: bool = True,
+    n_salts: int = 16,
+    dq_fail_on_corrupt: bool = False,
+) -> dict | None:
+    """One epoch through the full pipeline. Returns lineage or None if the
+    epoch was already committed / empty."""
+    if table.has_epoch(epoch_id):
+        return None
+    good, bad = split_quarantine(events)
+    if quarantine_dir is not None:
+        _quarantine_write(bad, quarantine_dir, epoch_id)
+
+    gate = run_dq_gate(good, min_rows=0, check_ntok=dq_fail_on_corrupt)
+    if not gate.ok:
+        raise ValueError(f"DQ gate failed for epoch {epoch_id}: {gate.failures}")
+    good = repair_ntok(good)
+
+    deduped = dedup_events(good)
+    reduced = lww_reduce(deduped, salted=salted, n_salts=n_salts).drop("batch_id")
+    lineage = table.merge_reduced(reduced, epoch_id)
+    return lineage
+
+
+def run_replay(
+    spark: SparkSession,
+    log_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str | None = None,
+    quarantine_dir: str | None = None,
+    salted: bool = True,
+    n_salts: int = 16,
+    max_epochs: int | None = None,
+) -> ReplayResult:
+    """Batch replay over epoch dirs (ordered). Resumable from any point:
+    the committed-epoch set in the table manifest is the checkpoint; the
+    optional checkpoint file only short-circuits directory listing."""
+    result = ReplayResult()
+    done: set[str] = set()
+    ckpt_file = os.path.join(checkpoint_dir, "epochs.json") if checkpoint_dir else None
+    if ckpt_file and os.path.exists(ckpt_file):
+        with open(ckpt_file) as f:
+            done = set(json.load(f))
+
+    batches = list_batches(log_dir)
+    if max_epochs is not None:
+        batches = batches[:max_epochs]
+    for path in batches:
+        epoch_id = os.path.basename(path)
+        if epoch_id in done or table.has_epoch(epoch_id):
+            result.epochs_skipped.append(epoch_id)
+            continue
+        events = spark.read.parquet(path)
+        lineage = apply_epoch(
+            table,
+            events,
+            epoch_id,
+            quarantine_dir=quarantine_dir,
+            salted=salted,
+            n_salts=n_salts,
+        )
+        if lineage is not None:
+            result.epochs_applied.append(epoch_id)
+            result.lineage.append(lineage)
+        # commit-then-checkpoint: table state is authoritative; the file is
+        # written only after the table owns the epoch
+        if ckpt_file:
+            done.add(epoch_id)
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            tmp = ckpt_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(sorted(done), f)
+            os.replace(tmp, ckpt_file)
+    return result
+
+
+def run_replay_streaming(
+    spark: SparkSession,
+    log_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    watermark_ttl: str = "30 days",
+    salted: bool = True,
+    n_salts: int = 16,
+) -> None:
+    """Structured Streaming replay: file source over the whole log dir,
+    availableNow trigger (process-everything-then-stop), watermarked
+    streaming dedup, merge per micro-batch in foreachBatch. Spark's
+    checkpoint tracks source offsets; the table's epoch set de-dups the
+    foreachBatch crash-replay window (epoch_id = f"stream-{batch_id}")."""
+    schema = spark.read.parquet(list_batches(log_dir)[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(os.path.join(log_dir, "batch_*"))
+    )
+    deduped = dedup_events_stream(stream, ttl=watermark_ttl)
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        good, _ = split_quarantine(batch_df)
+        good = repair_ntok(good)
+        reduced = lww_reduce(good, salted=salted, n_salts=n_salts).drop("batch_id")
+        table.merge_reduced(reduced, f"stream-{epoch_id}")
+
+    q = (
+        deduped.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
