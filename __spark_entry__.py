@@ -1,38 +1,463 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: queries() / oracle_sql() / entry().
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each queries() entry is an operator from SURVEY.md §2 (or a training-data
+pipeline operator) expressed over the driver's testdata tables; the
+matching oracle_sql() entry is the semantically identical ANSI SQL for
+DuckDB. Column names and value determinism rules:
+
+  * every computed column is aliased identically on both sides;
+  * doubles only appear where both engines produce bit-identical values
+    (raw stored values, int/int division, scaled-integer money sums);
+  * floating top-k scores (cosine) are rows-only checked (no oracle).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E402
+    dedupe as dd,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E402
+    multimodal as mm,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E402
+    similarity as sim,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E402
+    text as tx,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E402
+    tokens as tk,
+)
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# CDC-shaped operators over `events` (key=user_id, seq=event_id)
+# --------------------------------------------------------------------------
+
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 last-writer-wins as hash-agg max_by: final state per key after
+    replaying the event log (the engine's flagship reduction)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("last_event_id"),
+            F.max_by("event_type", "event_id").alias("last_event_type"),
+            F.max_by("value", "event_id").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_cdc_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 via window/row_number (the sort-based physical alternative)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+def q_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 idempotency-shaped dedup: first envelope per (key, type)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the reference's Athena partition-count report
+    (Instructions.md:122-125) restated over events."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("dt"), "event_type")
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: order-by + limit top-20 (reference Instructions.md:127-131);
+    physical plan = TakeOrderedAndProject, no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+def q_dq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: the GE expectation battery (ge_validate_silver.py:36-53) as one
+    aggregate pass: row_count / not_null / distinct / bounds."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.count_if(F.col("l_quantity").isNull()).alias("nulls_quantity"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count_if(F.col("l_extendedprice") < 0).alias("neg_price_rows"),
+    )
+
+
+def q_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/A1 derived arithmetic + group-by. Money is summed as scaled
+    integers (engine-portable exactness), divided once at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(rev_e4).alias("revenue_e4"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("revenue", F.col("revenue_e4") / 10000.0)
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_ts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: ISO-8601 UTC 'Z' canonical timestamp strings (reference
+    _iso_to_iso_z, schemas.py:41-47)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_z"),
+    ).orderBy("event_id")
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P10: JSON payload field extraction (the reference's JSONL record
+    parsing, lambdas/shared/utils.py:74-94)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    ).orderBy("event_id")
+
+
+def q_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (§2.9: the dt-partition rollup as a
+    real time window)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("hour_start"), "cnt")
+        .orderBy("hour_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators over `documents` / `embeddings`
+# --------------------------------------------------------------------------
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5) — the exact-dedup key."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.content_fingerprint("text").alias("fp")).orderBy(
+        "doc_id"
+    )
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (keeper = min doc_id per content)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.exact_dup_groups(d, "text", "doc_id").orderBy("keeper")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (inverted-index join)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, threshold=0.5).orderBy("a", "b")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (ratios are int/int -> IEEE-exact)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.quality_features(d).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tx.lang_id_heuristic("text").alias("lang_guess")
+    ).orderBy("doc_id")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.ws_token_count("text").alias("n_ws_tokens"),
+        tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload byte length + sha256 checksum
+    through the mapInPandas feature extractor (fake decode)."""
+    d = _t(spark, sf_dir, "documents")
+    media = mm.attach_binary_from_text(d)
+    feats = mm.extract_features(media, fake=True)
+    return feats.select("media_id", "n_bytes", "checksum").orderBy("media_id")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 embedding (rows-only:
+    floating scores are not engine-portable bit-for-bit)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.brute_force_topk(e.filter(F.col("vec_id") != 0), list(qv), k=20)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with estimated Jaccard (rows-only;
+    recall vs exact Jaccard is asserted in tests/test_dedupe.py)."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(d, k=32, bands=8)
+    return dd.minhash_jaccard_estimate(d, cand, k=32).orderBy("a", "b")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; block-bucketed, hamming<=3)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash_near_dup_pairs(d).orderBy("a", "b")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of tokenized docs (applyInPandas;
+    rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            tx.words("text"),
+            lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
+        ).alias("tokens"),
+    )
+    return tk.pack_sequences(toks, max_len=512, key="doc_id").orderBy(
+        "pack_bucket", "pack_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_lww_window": q_cdc_lww_window,
+        "dedup_first_event": q_dedup_first_event,
+        "group_count": q_group_count,
+        "topk_orders": q_topk_orders,
+        "dq_lineitem": q_dq_lineitem,
+        "revenue": q_revenue,
+        "ts_normalize": q_ts_normalize,
+        "json_extract": q_json_extract,
+        "hourly_counts": q_hourly_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dup_groups": q_exact_dup_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "multimodal_meta": q_multimodal_meta,
+        "embedding_topk": q_embedding_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "pack_sequences": q_pack_sequences,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN = "'the','a','of','and','to','in','is','it'"
+_ES = "'el','la','de','que','y','en','un','es'"
+_DE = "'der','die','das','und','ist','von','ein','zu'"
+_FR = "'le','la','de','et','un','est','que','en'"
+
+
+def _hits(words_expr: str, lst: str) -> str:
+    return f"len(list_filter({words_expr}, w -> list_contains([{lst}], w)))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_final_state": """
+            SELECT user_id,
+                   max(event_id)               AS last_event_id,
+                   arg_max(event_type, event_id) AS last_event_type,
+                   arg_max(value, event_id)      AS last_value
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "cdc_lww_window": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) rn
+              FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "dedup_first_event": """
+            SELECT user_id, event_type,
+                   min(event_id) AS first_event_id,
+                   count(*)      AS n_events
+            FROM events GROUP BY user_id, event_type
+            ORDER BY user_id, event_type
+        """,
+        "group_count": """
+            SELECT event_type, CAST(ts AS DATE) AS dt, count(*) AS cnt
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+            ORDER BY dt DESC, event_type
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "dq_lineitem": """
+            SELECT count(*)                                   AS row_count,
+                   count(*) FILTER (l_quantity IS NULL)       AS nulls_quantity,
+                   count(DISTINCT l_orderkey)                 AS distinct_orders,
+                   min(l_quantity)                            AS min_qty,
+                   max(l_quantity)                            AS max_qty,
+                   count(*) FILTER (l_extendedprice < 0)      AS neg_price_rows
+            FROM lineitem
+        """,
+        "revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT))                       AS revenue_e4,
+                   sum(CAST(l_quantity AS BIGINT))            AS sum_qty,
+                   count(*)                                   AS n_rows,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) / 10000.0             AS revenue
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "ts_normalize": """
+            SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_z
+            FROM events ORDER BY event_id
+        """,
+        "json_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events ORDER BY event_id
+        """,
+        "hourly_counts": """
+            SELECT date_trunc('hour', ts) AS hour_start, count(*) AS cnt
+            FROM events GROUP BY 1 ORDER BY hour_start
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+        """,
+        "exact_dup_groups": """
+            SELECT min(doc_id) AS keeper, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+            HAVING count(*) > 1 ORDER BY keeper
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, s FROM toks,
+                UNNEST(list_transform(
+                  range(1, greatest(len(w) - 2, 0) + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                )) AS u(s)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), overlap AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b,
+                   CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+            FROM overlap
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+            ORDER BY a, b
+        """,
+        "text_quality": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars_m,
+                     len(string_split_regex(trim(text), ' +')) AS n_words,
+                     length(text) - length(replace(text, ' ', '')) AS n_spaces,
+                     len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS n_punct,
+                     {_hits("string_split_regex(trim(text), ' +')", _EN)} AS en_hits
+              FROM documents
+            )
+            SELECT doc_id, n_chars_m, n_words, n_punct,
+                   CAST(n_spaces AS DOUBLE) / n_chars_m AS space_ratio,
+                   CAST(en_hits AS DOUBLE) / n_words    AS stopword_ratio,
+                   (n_words >= 5 AND en_hits > 0 AND n_chars_m < 1000000)
+                       AS passes_quality
+            FROM base ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     {_hits("string_split_regex(trim(text), ' +')", _DE)} AS h_de,
+                     {_hits("string_split_regex(trim(text), ' +')", _EN)} AS h_en,
+                     {_hits("string_split_regex(trim(text), ' +')", _ES)} AS h_es,
+                     {_hits("string_split_regex(trim(text), ' +')", _FR)} AS h_fr
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                     WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                     WHEN h_en >= h_de THEN 'en'
+                     ELSE 'de'
+                   END AS lang_guess
+            FROM h ORDER BY doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), ' +'))     AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]')) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "multimodal_meta": """
+            SELECT 'm_' || CAST(doc_id AS VARCHAR) AS media_id,
+                   octet_length(encode(text))      AS n_bytes,
+                   sha256(text)                    AS checksum
+            FROM documents ORDER BY media_id
+        """,
+        # embedding_topk, minhash_lsh_pairs, simhash_pairs, pack_sequences:
+        # intentionally omitted -> rows-only check (floating scores / custom
+        # hash families / stateful packing are not ANSI-SQL-portable).
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the CDC last-writer-wins final-state reduction at sf0.001."""
+    return q_cdc_final_state(spark, "/root/testdata/sf0.001")

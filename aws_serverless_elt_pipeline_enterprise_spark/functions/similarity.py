@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; an LSH-bucketed
+(random-hyperplane signature) variant as the scale path — at 10^10 vectors
+the brute force is a full scan per query, the LSH probe touches only the
+query's buckets.
+
+Dot products run through ``F.zip_with`` + ``F.aggregate`` (JVM-side,
+codegen) in double precision; the batched variant uses a pandas UDF over
+Arrow (numpy matmul) when many queries are scored at once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector. Physical plan:
+    project (codegen'd fold) -> TakeOrderedAndProject — no full sort, no
+    shuffle of losers."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def batch_topk_pandas(
+    df: DataFrame,
+    queries: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Many queries at once: per Arrow batch, one numpy matmul scores all
+    queries against the batch (vectorized — never per-row Python), then a
+    global top-k per query via window. Returns (query_id, vec_id, cos_sim)."""
+    qm = np.asarray(queries, dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    n_q = len(queries)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def score_all(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ qn.T  # (batch, n_q)
+        return pd.Series(list(sims))
+
+    scored = df.select(F.col(id_col), score_all(F.col(vec_col)).alias("sims"))
+    exploded = scored.select(
+        id_col,
+        F.posexplode("sims").alias("query_id", "cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cos_sim")
+    )
+
+
+def hyperplane_signature(
+    vec_col: str, dim: int, n_bits: int = 16, seed: int = 42
+) -> F.Column:
+    """Random-hyperplane LSH signature: bit i = sign(v . h_i) where h_i is
+    a deterministic pseudo-random hyperplane derived from (seed, i). The
+    hyperplanes are +/-1 valued (sign of a hash), so the projection is a
+    signed sum — all JVM-side, no UDF."""
+    def signed_term(i: int):
+        # factory keeps the Spark-visible lambda two-argument (PySpark
+        # inspects arity to bind higher-order-function variables)
+        def term(x, j):
+            return x.cast("double") * F.when(
+                F.pmod(F.xxhash64(j, F.lit(i), F.lit(seed)), F.lit(2)) == 0, 1.0
+            ).otherwise(-1.0)
+
+        return term
+
+    bits = []
+    for i in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                signed_term(i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    seed: int = 42,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane signature is
+    within ``probe_hamming`` bits of the query's (multi-probe). At scale the
+    signature is precomputed and the table is bucketed by it, so the probe
+    is a partition-pruned read instead of a full scan."""
+    dim = len(query_vec)
+    sigs = df.withColumn("sig", hyperplane_signature(vec_col, dim, n_bits, seed))
+    qdf = df.sparkSession.createDataFrame(
+        [(query_vec,)], T.StructType([T.StructField("qv", T.ArrayType(T.FloatType()))])
+    ).withColumn("qsig", hyperplane_signature("qv", dim, n_bits, seed))
+    qsig = qdf.collect()[0]["qsig"]
+    cand = sigs.filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via signature bucketing:
+    vectors sharing an LSH bucket are verified with the exact cosine.
+    (cos >= 0.95 pairs collide in a 16-bit signature with high prob.)"""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    sigs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(vec_col, dim, n_bits, seed).alias("sig"),
+    )
+    a = sigs.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("sig")
+    )
+    b = sigs.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("sig")
+    )
+    return (
+        a.join(b, "sig")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
+    )

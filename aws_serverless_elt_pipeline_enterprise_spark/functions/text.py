@@ -1,0 +1,89 @@
+"""Text analysis for training-data pipelines — JVM-side expressions.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish regex), and content
+fingerprinting. Everything is a composition of built-in functions so the
+whole stage stays inside codegen; nothing here needs Python at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny public stopword lists (language-ID heuristic)
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "en"),
+}
+
+BPE_ISH_REGEX = "[A-Za-z]+|[0-9]"
+
+
+def words(col: str = "text") -> F.Column:
+    """Canonical whitespace tokenization: trim + split on runs of spaces."""
+    return F.split(F.trim(F.col(col)), " +")
+
+
+def ws_token_count(col: str = "text") -> F.Column:
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: str = "text") -> F.Column:
+    """Rough BPE token estimate: alpha runs + single digits."""
+    return F.regexp_count(F.col(col), F.lit(BPE_ISH_REGEX))
+
+
+def stopword_hits(lang: str, col: str = "text") -> F.Column:
+    """Count of tokens that are stopwords of `lang` (array intersection
+    semantics, but keeping duplicates: filter + size)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(col), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id_heuristic(col: str = "text") -> F.Column:
+    """Pick the language whose stopword list hits most. Deterministic tie
+    break: struct comparison falls through to the lang string, so the
+    lexicographically LAST language wins a tie. Swap the lists for
+    fastText-style profiles in prod."""
+    pairs = F.array(
+        *[
+            F.struct(
+                stopword_hits(lang, col).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    return F.array_max(pairs)["lang"]
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Quality-scoring features: exact integer counts + deterministic
+    ratios. Mirrors the shape of the reference's GE numeric-bounds checks
+    (ge_validate_silver.py:36-53) applied to text instead of invoices."""
+    c = F.col(col)
+    n_chars = F.length(c)
+    n_words = ws_token_count(col)
+    n_spaces = n_chars - F.length(F.replace(c, F.lit(" "), F.lit("")))
+    n_punct = F.regexp_count(c, F.lit(r"[\.,;:!\?]"))
+    en_hits = stopword_hits("en", col)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        (n_spaces.cast("double") / n_chars).alias("space_ratio"),
+        (en_hits.cast("double") / n_words).alias("stopword_ratio"),
+        (
+            (n_words >= 5) & (en_hits > 0) & (n_chars < 1_000_000)
+        ).alias("passes_quality"),
+    )
+
+
+def content_fingerprint(col: str = "text") -> F.Column:
+    """Exact content fingerprint (md5 hex) — the exact-dedup key. md5 is
+    engine-portable (same string in Spark, DuckDB, Python hashlib)."""
+    return F.md5(F.col(col))

