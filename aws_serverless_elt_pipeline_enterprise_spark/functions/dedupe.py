@@ -114,23 +114,36 @@ def _minhash_sig(shingles: F.Column, k: int, seed: int = 42) -> F.Column:
     a_i < 2^20 and x < 2^31 keep a*x + b < 2^52 — no signed-long overflow
     in the JVM expression (overflow would silently wrap and break
     determinism claims)."""
-    def hash_fn(a: int, b: int):
-        # factory keeps the Spark-visible lambda single-argument (PySpark
-        # inspects arity to bind higher-order-function variables)
-        def h(s):
-            return F.pmod(
-                F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)) * a + F.lit(b),
-                F.lit(_MH_PRIME),
-            )
-
-        return h
-
-    sig = []
-    for i in range(k):
-        a = ((seed * 1_000_003 + i * 2_654_435_761 + 1) % (1 << 20)) | 1
-        b = (seed * 97 + i * 1_234_567_891) % _MH_PRIME
-        sig.append(F.array_min(F.transform(shingles, hash_fn(a, b))))
-    return F.array(*sig)
+    # Spark cannot common-subexpression-eliminate across lambda scopes, so
+    # k separate `array_min(transform(...))` expressions would recompute the
+    # shingle array and its hashes k times. Instead: ONE fold over the
+    # shingle-hash array, keeping a running elementwise minimum of all k
+    # permutation hashes (zip_with + least). Everything evaluates once.
+    a_consts = F.array(
+        *[
+            F.lit(((seed * 1_000_003 + i * 2_654_435_761 + 1) % (1 << 20)) | 1)
+            for i in range(k)
+        ]
+    )
+    b_consts = F.array(
+        *[F.lit((seed * 97 + i * 1_234_567_891) % _MH_PRIME) for i in range(k)]
+    )
+    xs = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+    return F.aggregate(
+        xs,
+        F.array_repeat(F.lit(_MH_PRIME).cast("long"), k),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda m, i: F.least(
+                m,
+                F.pmod(
+                    x * F.element_at(a_consts, i) + F.element_at(b_consts, i),
+                    F.lit(_MH_PRIME),
+                ),
+            ),
+        ),
+    )
 
 
 def minhash_signatures(
@@ -169,9 +182,7 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.xxhash64(
-                            F.to_json(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                            )
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
                         ).alias("band_hash"),
                     )
                     for b in range(bands)

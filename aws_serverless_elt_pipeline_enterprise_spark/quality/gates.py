@@ -33,8 +33,13 @@ def run_dq_gate(
     not_null: tuple[str, ...] = ("doc_id", "seq", "op"),
     min_rows: int = 0,
     check_ntok: bool = True,
+    extra_aggs: list | None = None,
 ) -> DQResult:
-    """Single aggregate pass; returns pass/fail + the measured metrics."""
+    """Single aggregate pass; returns pass/fail + the measured metrics.
+
+    ``extra_aggs`` lets the caller piggy-back additional aggregates on the
+    same scan (e.g. the merge's affected-bucket set) — one job instead of
+    two per epoch."""
     aggs = [F.count(F.lit(1)).alias("row_count")]
     for c in not_null:
         aggs.append(F.count_if(F.col(c).isNull()).alias(f"nulls_{c}"))
@@ -47,6 +52,7 @@ def run_dq_gate(
                 & (F.col("n_tok") != F.size("tokens"))
             ).alias("ntok_mismatch")
         )
+    aggs.extend(extra_aggs or [])
     row = df.agg(*aggs).collect()[0].asDict()
 
     failures = []

@@ -36,8 +36,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxRecordsPerFile", "5000000")
+        # split scans finer than the 128m default: token-array rows are
+        # heavy to decode, and read parallelism must reach the core count
+        # even for few-file inputs
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local mode = driver-only: the driver heap is ALL the memory; size
+        # it to the box or >8 concurrent tasks starve and GC-thrash
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
+        # G1 + 32 task threads hitting JNI-critical sections (parquet codec)
+        # degrades into GCLocker-initiated-GC storms (measured: 3-20x epoch
+        # slowdowns); the throughput collector is stable for this workload
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # task-commit renames instead of serial driver-side job-commit
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

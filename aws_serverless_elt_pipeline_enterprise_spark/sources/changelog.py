@@ -203,7 +203,10 @@ def generate_changelog(spark: SparkSession, out_dir: str, spec: ChangelogSpec) -
                 "n_tok", F.col("n_tok").cast("int")
             )
         p = os.path.join(out_dir, f"batch_{b:05d}")
-        batch.repartition(4).write.mode("overwrite").parquet(p)
+        # file count scales with batch size (~150k rows/file): scan
+        # parallelism of the replay must not be capped by the log layout
+        npart = max(4, min(256, (spec.n_events // spec.n_batches) // 150_000))
+        batch.repartition(npart).write.mode("overwrite").parquet(p)
         paths.append(p)
     df.unpersist()
     return paths

@@ -32,7 +32,7 @@ import json
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from aws_serverless_elt_pipeline_enterprise_spark.operators.dedup import (
@@ -43,10 +43,7 @@ from aws_serverless_elt_pipeline_enterprise_spark.operators.lww import lww_reduc
 from aws_serverless_elt_pipeline_enterprise_spark.operators.normalize import (
     split_quarantine,
 )
-from aws_serverless_elt_pipeline_enterprise_spark.quality.gates import (
-    repair_ntok,
-    run_dq_gate,
-)
+from aws_serverless_elt_pipeline_enterprise_spark.quality.gates import repair_ntok
 from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import list_batches
 from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import SnapshotTable
 
@@ -89,14 +86,50 @@ def apply_epoch(
     if quarantine_dir is not None:
         _quarantine_write(bad, quarantine_dir, epoch_id)
 
-    gate = run_dq_gate(good, min_rows=0, check_ntok=dq_fail_on_corrupt)
-    if not gate.ok:
-        raise ValueError(f"DQ gate failed for epoch {epoch_id}: {gate.failures}")
-    good = repair_ntok(good)
+    # COW needs the affected-bucket set up front (to prune the target
+    # read); a tiny column-pruned job. MOR skips it entirely — the merge
+    # discovers written buckets from the commit listing.
+    affected = None
+    if table.mode == "cow":
+        affected = [
+            r[0]
+            for r in good.select(table.bucket_expr().alias("b")).distinct().collect()
+        ]
+        if not affected:
+            return table.merge_reduced(good.limit(0), epoch_id, affected=[])
 
-    deduped = dedup_events(good)
-    reduced = lww_reduce(deduped, salted=salted, n_salts=n_salts).drop("batch_id")
-    lineage = table.merge_reduced(reduced, epoch_id)
+    # DQ gate rides the merge write as an Observation on the pre-repair
+    # rows: zero extra scans, still transactional (checked pre-manifest)
+    obs = Observation(f"dq_{epoch_id}")
+    dq_aggs = [
+        F.count(F.lit(1)).alias("row_count"),
+        F.count_if(F.col("doc_id").isNull()).alias("nulls_doc_id"),
+        F.count_if(
+            F.col("op").isin("insert", "update")
+            & (F.col("n_tok") != F.size("tokens"))
+        ).alias("ntok_mismatch"),
+    ]
+    observed = good.observe(obs, *dq_aggs)
+    repaired = repair_ntok(observed)
+
+    def gate_check() -> None:
+        m = obs.get
+        failures = []
+        if m["nulls_doc_id"] > 0:
+            failures.append(f"{m['nulls_doc_id']} null doc_id")
+        if dq_fail_on_corrupt and m["ntok_mismatch"] > 0:
+            failures.append(f"{m['ntok_mismatch']} rows with n_tok != size(tokens)")
+        if failures:
+            raise ValueError(f"DQ gate failed for epoch {epoch_id}: {failures}")
+
+    # No pre-reduction: the merge's own groupBy/max_by aggregate performs
+    # dedup + LWW + upsert in one partial-aggregable shuffle (map-side
+    # combine collapses duplicates and hot keys before the exchange).
+    # lww_reduce/dedup_events remain as standalone operators for window-
+    # shaped paths and the streaming state story.
+    lineage = table.merge_reduced(
+        repaired.drop("batch_id"), epoch_id, affected=affected, pre_commit=gate_check
+    )
     return lineage
 
 
@@ -177,8 +210,7 @@ def run_replay_streaming(
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         good, _ = split_quarantine(batch_df)
         good = repair_ntok(good)
-        reduced = lww_reduce(good, salted=salted, n_salts=n_salts).drop("batch_id")
-        table.merge_reduced(reduced, f"stream-{epoch_id}")
+        table.merge_reduced(good.drop("batch_id"), f"stream-{epoch_id}")
 
     q = (
         deduped.writeStream.foreachBatch(_merge)

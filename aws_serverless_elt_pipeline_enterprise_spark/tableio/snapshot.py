@@ -108,7 +108,23 @@ def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
 
 
 class SnapshotTable:
-    """Bucketed copy-on-write table with atomic manifest commits."""
+    """Bucketed snapshot table with atomic manifest commits.
+
+    Two merge strategies, selectable per table (mixable per epoch):
+
+      * ``mode="cow"`` (copy-on-write): each merge rewrites the affected
+        buckets with the post-merge rows. Reads are cheapest (one file set
+        per bucket); writes cost O(bucket size) per epoch. Iceberg v1-style.
+      * ``mode="mor"`` (merge-on-read): each merge appends a DELTA commit —
+        only the batch's reduced rows — and the per-key LWW resolution runs
+        at read/compaction time. Writes cost O(batch); this is the only
+        sane strategy when a small CDC batch hits a 100 TB table (COW would
+        rewrite the world every epoch). Iceberg v2 / Hudi MOR-style.
+
+    Manifests map bucket -> ordered list of commit dirs (base first, then
+    deltas). COW keeps the lists at length 1; ``compact()`` collapses MOR
+    delta chains back to length 1.
+    """
 
     SEQ_COL = "_seq"
     BUCKET_COL = "_bucket"
@@ -121,11 +137,14 @@ class SnapshotTable:
         root: str,
         key_col: str = "doc_id",
         n_buckets: int = 32,
+        mode: str = "cow",
     ):
+        assert mode in ("cow", "mor"), mode
         self.spark = spark
         self.root = root
         self.key_col = key_col
         self.n_buckets = n_buckets
+        self.mode = mode
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "commits"), exist_ok=True)
 
@@ -196,28 +215,75 @@ class SnapshotTable:
             ]
         )
 
-    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+    def _resolve(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Merge-on-read resolution: one row per key = max over stored
+        (_seq, payload-hash). Partial-aggregable (map-side combine), so
+        delta chains resolve in a single shuffle regardless of depth."""
+        payload = [f.name for f in schema.fields if f.name != self.key_col]
+        others = payload + [self.SEQ_COL, self.DEL_COL, self.BUCKET_COL]
+        tie = F.xxhash64(*[F.col(c) for c in payload], F.col(self.DEL_COL))
+        return (
+            df.groupBy(self.key_col)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in others]),
+                    F.struct(F.col(self.SEQ_COL), tie),
+                ).alias("w")
+            )
+            .select(self.key_col, *[F.col(f"w.{c}").alias(c) for c in others])
+            .select(*[f.name for f in schema.fields], self.SEQ_COL, self.DEL_COL, self.BUCKET_COL)
+        )
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        resolve: bool = True,
+    ) -> DataFrame:
         """Snapshot as a DataFrame (internal cols included). ``buckets``
         limits the scan to those hash buckets — the partition-pruning path
-        the merge uses."""
+        the merge uses. When any requested bucket carries MOR deltas, the
+        LWW resolution is applied (skippable with resolve=False for raw
+        delta inspection)."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"])) if m else None
-        if m is None or not m["buckets"]:
+        if m is None or (not m["buckets"] and not m.get("global_deltas")):
             return self._empty(schema)
-        want = set(int(b) for b in (buckets if buckets is not None else m["buckets"].keys()))
+        all_buckets = (
+            set(int(b) for b in m["buckets"].keys())
+            if m["buckets"]
+            else set(range(self.n_buckets))
+        )
+        want = set(int(b) for b in buckets) if buckets is not None else all_buckets
         by_commit: dict[str, list[int]] = {}
-        for b_str, commit_dir in m["buckets"].items():
+        needs_resolve = False
+        for b_str, commit_dirs in m["buckets"].items():
             b = int(b_str)
             if b in want:
-                by_commit.setdefault(commit_dir, []).append(b)
-        if not by_commit:
-            return self._empty(schema)
+                if len(commit_dirs) > 1:
+                    needs_resolve = True
+                for cd in commit_dirs:
+                    by_commit.setdefault(cd, []).append(b)
         parts = [
             self._read_commit_buckets(cd, bs, schema) for cd, bs in sorted(by_commit.items())
         ]
+        # global deltas apply to every bucket (Iceberg equality-delete
+        # style): scan them whole, filter to the wanted buckets
+        gdeltas = m.get("global_deltas", [])
+        if gdeltas and want:
+            needs_resolve = True
+            gdf = self.spark.read.parquet(*[os.path.join(self.root, d) for d in gdeltas])
+            gdf = conform(gdf, self._data_schema(schema))
+            if buckets is not None:
+                gdf = gdf.filter(F.col(self.BUCKET_COL).isin(*sorted(want)))
+            parts.append(gdf)
+        if not parts:
+            return self._empty(schema)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if needs_resolve and resolve:
+            df = self._resolve(df, schema)
         return df
 
     def state(self, version: int | None = None) -> DataFrame:
@@ -237,12 +303,19 @@ class SnapshotTable:
     def bucket_expr(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)).cast("int")
 
-    def merge_reduced(self, reduced: DataFrame, epoch_id: str) -> dict:
-        """MERGE a per-key-reduced change batch into the table.
+    def merge_reduced(
+        self,
+        reduced: DataFrame,
+        epoch_id: str,
+        affected: list[int] | None = None,
+        pre_commit=None,
+    ) -> dict:
+        """MERGE a change batch into the table.
 
-        ``reduced`` must have exactly one row per key with columns:
-        ``op`` (insert/update/delete), ``seq`` (long), and the payload
-        columns. Equivalent Iceberg SQL::
+        ``reduced`` needs columns ``op`` (insert/update/delete), ``seq``
+        (long), and the payload columns; multiple rows per key are fine —
+        the merge aggregate reduces them (dedup + LWW) in the same shuffle
+        it uses to apply against the target. Equivalent Iceberg SQL::
 
             MERGE INTO t USING batch b ON t.doc_id = b.doc_id
             WHEN MATCHED AND b.op = 'delete' AND b.seq > t._seq THEN DELETE
@@ -266,11 +339,37 @@ class SnapshotTable:
         )
 
         batch = reduced.withColumn(self.BUCKET_COL, self.bucket_expr())
-        affected = sorted(
-            r[0] for r in batch.select(self.BUCKET_COL).distinct().collect()
-        )
+        if self.mode == "mor":
+            # MOR needs no up-front bucket discovery: the delta lands next
+            # to existing data, and written buckets are read off the commit
+            # dir listing afterwards. Zero extra jobs per epoch.
+            affected = None
+        elif affected is None:
+            affected = sorted(
+                r[0] for r in batch.select(self.BUCKET_COL).distinct().collect()
+            )
+        else:
+            affected = sorted(int(b) for b in affected)
+        if affected is not None and not affected:
+            # empty COW batch: commit the epoch id only (no data)
+            old_m = self.manifest()
+            lineage = {
+                "epoch_id": epoch_id,
+                "version": (self.current_version() or 0) + 1 if old_m else 0,
+                "affected_buckets": [],
+                "written_buckets": [],
+                "keys_considered": 0,
+                "keys_deleted": 0,
+            }
+            self._commit_manifest(
+                lineage["version"],
+                schema if old_schema is None else old_schema,
+                dict(old_m["buckets"]) if old_m else {},
+                sorted(self.committed_epochs() | {epoch_id}),
+                lineage,
+            )
+            return lineage
 
-        target = self.read(buckets=affected)
         # Unified arms: (payload..., __seq, __bucket, __op, __side).
         # __side breaks exact-seq ties in favor of the incoming batch, which
         # is safe because an equal seq can only be the same event replayed.
@@ -283,12 +382,26 @@ class SnapshotTable:
                 T.StructField("__side", T.IntegerType(), True),
             ]
         )
+        b_arm = conform(
+            batch.withColumnRenamed("seq", "__seq")
+            .withColumnRenamed(self.BUCKET_COL, "__bucket")
+            .withColumnRenamed("op", "__op")
+            .withColumn("__side", F.lit(1)),
+            ext_schema,
+        )
+        if self.mode == "mor":
+            return self._merge_mor_append(
+                b_arm, schema, epoch_id, pre_commit=pre_commit
+            )
+        # COW merges against the current target rows of the affected
+        # buckets; the resulting commit REPLACES those buckets.
+        target = self.read(buckets=affected)
         t_arm = conform(
             target.withColumnRenamed(self.SEQ_COL, "__seq")
             .withColumnRenamed(self.BUCKET_COL, "__bucket")
             .withColumn(
-                # a stored tombstone re-enters the reduction as a delete so
-                # it keeps beating stale lower-seq updates
+                # a stored tombstone re-enters the reduction as a delete
+                # so it keeps beating stale lower-seq updates
                 "__op",
                 F.when(
                     F.coalesce(F.col(self.DEL_COL), F.lit(False)), F.lit("delete")
@@ -297,21 +410,24 @@ class SnapshotTable:
             .withColumn("__side", F.lit(0)),
             ext_schema,
         )
-        b_arm = conform(
-            batch.withColumnRenamed("seq", "__seq")
-            .withColumnRenamed(self.BUCKET_COL, "__bucket")
-            .withColumnRenamed("op", "__op")
-            .withColumn("__side", F.lit(1)),
-            ext_schema,
-        )
         both = t_arm.unionByName(b_arm)
         w_cols = [f.name for f in schema.fields] + ["__seq", "__bucket", "__op"]
+        # One hash aggregate implements dedup + LWW + MERGE in a single
+        # shuffle: max_by is partial-aggregable, so map-side combine reduces
+        # every key to one row per task BEFORE the exchange — which is also
+        # why hot doc_ids don't skew this stage (no salting needed here;
+        # salting remains for sort/window/join-shaped paths). Ties:
+        # (seq, side, payload-hash) is a total order -> deterministic,
+        # replay-stable winners even for pathological equal-seq events.
+        tie_hash = F.xxhash64(
+            *[F.col(f.name) for f in schema.fields if f.name != self.key_col]
+        )
         winner = (
             both.groupBy(self.key_col)
             .agg(
                 F.max_by(
                     F.struct(*[F.col(c) for c in w_cols if c != self.key_col]),
-                    F.struct(F.col("__seq"), F.col("__side")),
+                    F.struct(F.col("__seq"), F.col("__side"), tie_hash),
                 ).alias("w")
             )
             .select(
@@ -341,35 +457,108 @@ class SnapshotTable:
         tag = "".join(ch for ch in epoch_id if ch.isalnum())[-24:] or "e"
         commit_rel = os.path.join("commits", f"c_{version:06d}_{tag}")
         commit_abs = os.path.join(self.root, commit_rel)
+        n_out = len(affected) if affected else self.n_buckets
         (
-            new_rows.repartition(max(len(affected), 1), F.col(self.BUCKET_COL))
+            new_rows.repartition(max(n_out, 1), F.col(self.BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(self.BUCKET_COL)
             .parquet(commit_abs)
         )
         metrics_row = observation.get
+        if pre_commit is not None:
+            # transactional DQ gate: raises -> the manifest below is never
+            # written, the data files are unreferenced orphans (vacuumable),
+            # and the epoch stays uncommitted. The gate's aggregates were
+            # observed during the write job itself — zero extra scans.
+            pre_commit()
         written_buckets = set()
         for d in os.listdir(commit_abs):
             if d.startswith(f"{self.BUCKET_COL}="):
                 written_buckets.add(int(d.split("=", 1)[1]))
 
         old_m = self.manifest()
-        buckets_map = dict(old_m["buckets"]) if old_m else {}
-        for b in affected:
-            buckets_map.pop(str(b), None)
-        for b in written_buckets:
-            buckets_map[str(b)] = commit_rel
+        buckets_map = {k: list(v) for k, v in old_m["buckets"].items()} if old_m else {}
+        if self.mode == "cow":
+            for b in affected:
+                buckets_map.pop(str(b), None)
+            for b in written_buckets:
+                buckets_map[str(b)] = [commit_rel]
+        else:
+            for b in written_buckets:
+                buckets_map.setdefault(str(b), []).append(commit_rel)
 
         lineage = {
             "epoch_id": epoch_id,
             "version": version,
-            "affected_buckets": affected,
+            "mode": self.mode,
+            "affected_buckets": affected if affected is not None else sorted(written_buckets),
             "written_buckets": sorted(written_buckets),
             "keys_considered": metrics_row["keys_considered"] if metrics_row else None,
             "keys_deleted": metrics_row["keys_deleted"] if metrics_row else None,
         }
         committed = sorted(self.committed_epochs() | {epoch_id})
-        self._commit_manifest(version, schema, buckets_map, committed, lineage)
+        self._commit_manifest(
+            version, schema, buckets_map, committed, lineage,
+            new_dir=commit_rel, new_dir_kind="base",
+        )
+        return lineage
+
+    def _merge_mor_append(
+        self,
+        b_arm: DataFrame,
+        schema: T.StructType,
+        epoch_id: str,
+        pre_commit=None,
+    ) -> dict:
+        """MOR fast path: the normalized batch lands as a raw delta — a
+        pure MAP job (scan -> storage form -> partitioned write), ZERO
+        shuffles per epoch. Dedup/LWW happens once, at read or compaction
+        (``_resolve``), which is where Hudi MOR / Iceberg streaming CDC
+        put it too. This is what makes per-epoch cost O(batch) with
+        near-perfect parallel scaling; the price is read amplification
+        until ``compact()`` runs."""
+        delta = (
+            b_arm.withColumn(self.DEL_COL, F.col("__op") == "delete")
+            .withColumnRenamed("__seq", self.SEQ_COL)
+            .withColumnRenamed("__bucket", self.BUCKET_COL)
+            .drop("__op", "__side")
+        )
+        observation = Observation(f"merge_{uuid.uuid4().hex[:8]}")
+        observed = delta.observe(
+            observation,
+            F.count(F.lit(1)).alias("keys_considered"),
+            F.count_if(F.col(self.DEL_COL)).alias("keys_deleted"),
+        )
+        version = (self.current_version() or 0) + 1 if self.manifest() else 0
+        tag = "".join(ch for ch in epoch_id if ch.isalnum())[-24:] or "e"
+        commit_rel = os.path.join("commits", f"c_{version:06d}_{tag}")
+        commit_abs = os.path.join(self.root, commit_rel)
+        # UNPARTITIONED delta: zero shuffle AND zero partition fan-out
+        # (partitionBy from an unshuffled input would create
+        # tasks x buckets tiny files). _bucket rides as a data column; the
+        # delta applies table-wide, like Iceberg's equality-delete files.
+        observed.write.mode("overwrite").parquet(commit_abs)
+        metrics_row = observation.get
+        if pre_commit is not None:
+            pre_commit()
+        old_m = self.manifest()
+        buckets_map = {k: list(v) for k, v in old_m["buckets"].items()} if old_m else {}
+        global_deltas = list(old_m.get("global_deltas", [])) if old_m else []
+        global_deltas.append(commit_rel)
+        lineage = {
+            "epoch_id": epoch_id,
+            "version": version,
+            "mode": "mor",
+            "delta_dir": commit_rel,
+            "rows_in_batch": metrics_row["keys_considered"] if metrics_row else None,
+            "delete_rows": metrics_row["keys_deleted"] if metrics_row else None,
+        }
+        committed = sorted(self.committed_epochs() | {epoch_id})
+        self._commit_manifest(
+            version, schema, buckets_map, committed, lineage,
+            new_dir=commit_rel, new_dir_kind="delta",
+            global_deltas=global_deltas,
+        )
         return lineage
 
     def _commit_manifest(
@@ -379,13 +568,29 @@ class SnapshotTable:
         buckets_map: dict,
         committed: list[str],
         lineage: dict,
+        new_dir: str | None = None,
+        new_dir_kind: str = "base",
+        global_deltas: list[str] | None = None,
     ) -> None:
+        old_m = self.manifest()
+        if global_deltas is None:
+            global_deltas = list(old_m.get("global_deltas", [])) if old_m else []
+        live = {d for dirs in buckets_map.values() for d in dirs} | set(global_deltas)
+        kinds = {
+            d: k
+            for d, k in (old_m.get("dir_kinds", {}) if old_m else {}).items()
+            if d in live
+        }
+        if new_dir is not None:
+            kinds[new_dir] = new_dir_kind
         m = {
             "version": version,
             "schema": json.dumps(schema.jsonValue()),
             "n_buckets": self.n_buckets,
             "key_col": self.key_col,
             "buckets": buckets_map,
+            "global_deltas": global_deltas,
+            "dir_kinds": kinds,
             "committed_epochs": committed,
             "lineage": lineage,
         }
@@ -431,13 +636,14 @@ class SnapshotTable:
             .parquet(commit_abs)
         )
         buckets_map = {
-            d.split("=", 1)[1]: commit_rel
+            d.split("=", 1)[1]: [commit_rel]
             for d in os.listdir(commit_abs)
             if d.startswith(f"{self.BUCKET_COL}=")
         }
         lineage = {"epoch_id": "__compaction", "version": version, "compaction": True}
         self._commit_manifest(
-            version, schema, buckets_map, sorted(self.committed_epochs()), lineage
+            version, schema, buckets_map, sorted(self.committed_epochs()), lineage,
+            new_dir=commit_rel, new_dir_kind="base", global_deltas=[],
         )
         return lineage
 
@@ -448,7 +654,9 @@ class SnapshotTable:
         m = self.manifest()
         if m is None:
             return []
-        live = {v for v in m["buckets"].values()}
+        live = {d for dirs in m["buckets"].values() for d in dirs} | set(
+            m.get("global_deltas", [])
+        )
         removed = []
         cdir = os.path.join(self.root, "commits")
         for d in os.listdir(cdir):

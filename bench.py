@@ -72,6 +72,17 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
+def work_root() -> str:
+    """Scratch root. SPARK_GRAFT_TMPFS=1 puts table + log + shuffle on
+    tmpfs: a single local disk (~800 MB/s here) is a SHARED resource that
+    cannot scale with parallelism, whereas on a real cluster both HDFS/S3
+    and shuffle bandwidth scale with executor count — tmpfs is the honest
+    single-box stand-in for that (documented in BENCH.md)."""
+    if os.environ.get("SPARK_GRAFT_TMPFS") == "1":
+        return "/dev/shm/spark_graft_bench"
+    return "/tmp/spark_graft_bench"
+
+
 def bench_replay(spark, sf: float, cpus: int) -> dict:
     n_events = int(os.environ.get("SPARK_GRAFT_EVENTS", 0)) or max(
         int(20_000_000 * sf), 20_000
@@ -82,17 +93,23 @@ def bench_replay(spark, sf: float, cpus: int) -> dict:
         n_batches=8,
         seed=42,
     )
-    cache = f"/tmp/spark_graft_bench/log_{n_events}_{spec.n_keys}_{spec.n_batches}"
+    cache = f"{work_root()}/log_{n_events}_{spec.n_keys}_{spec.n_batches}"
     if not os.path.exists(os.path.join(cache, "batch_00007")):
         shutil.rmtree(cache, ignore_errors=True)
         generate_changelog(spark, cache, spec)
-    tbl_dir = f"/tmp/spark_graft_bench/tbl_{os.getpid()}"
+    tbl_dir = f"{work_root()}/tbl_{os.getpid()}"
     shutil.rmtree(tbl_dir, ignore_errors=True)
-    table = SnapshotTable(spark, tbl_dir, n_buckets=max(cpus, 16))
+    # n_buckets fixed (not a function of cpus) so runs at different
+    # parallelism levels replay the identical job on identical layout.
+    # MOR: per-epoch delta commits (write O(batch), not O(table)); the
+    # timed window includes materializing the final state via compaction,
+    # so the LWW resolve is paid inside the measurement.
+    table = SnapshotTable(spark, tbl_dir, n_buckets=32, mode="mor")
     t0 = time.monotonic()
-    run_replay(spark, cache, table, salted=True, n_salts=cpus)
-    wall = time.monotonic() - t0
+    run_replay(spark, cache, table)
+    table.compact()
     n_rows = table.state().count()
+    wall = time.monotonic() - t0
     shutil.rmtree(tbl_dir, ignore_errors=True)
     return {
         "events": n_events,
@@ -107,9 +124,24 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
-    spark = get_spark(app_name="cdc-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_TMPFS") == "1":
+        os.makedirs("/dev/shm/spark_graft_bench/local", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark_graft_bench/local"
+    spark = get_spark(
+        app_name="cdc-bench",
+        master=f"local[{cpus}]",
+        # shuffle partitions scale with the cluster size, as they would in
+        # any real deployment (4x cores keeps reduce-side hash maps small)
+        shuffle_partitions=cpus * 4,
+        extra_conf=extra,
+    )
 
+    # replay stages are fixed-shape (one agg, one write): AQE's per-stage
+    # re-planning is pure driver overhead here. Re-enabled for the queries.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     replay = bench_replay(spark, sf, cpus)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     qtimes: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":

@@ -1,0 +1,69 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+Runs the identical CDC replay job on the same input at local[N] and
+local[4N] (subprocesses, fresh JVMs) and reports events/sec at both plus
+efficiency = (rate_4N / rate_N) / 4. The sandbox has no multi-node
+cluster; parallelism level stands in for executor count (SURVEY.md §6).
+
+Usage: python scripts/bench_scaling.py [n_events] [N]
+Appends a markdown row set to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cpus: int, n_events: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_EVENTS=str(n_events),
+        SPARK_GRAFT_SKIP_QUERIES="1",
+        SPARK_GRAFT_TMPFS="1",  # single local disk can't scale with threads
+        SPARK_DRIVER_MEMORY="24g",  # lazy huge heaps cause kernel reclaim noise
+        SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    lo = run_at(n, n_events)
+    hi = run_at(4 * n, n_events)
+    r_lo = lo["replay"]["events_per_sec"]
+    r_hi = hi["replay"]["events_per_sec"]
+    eff = (r_hi / r_lo) / 4
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    block = f"""
+## Scaling run {stamp} — {n_events:,} events, 8 epochs, same input
+
+| parallelism | wall (s) | events/sec |
+|---|---|---|
+| local[{n}] (N) | {lo['replay']['wall_sec']} | {r_lo:,.0f} |
+| local[{4*n}] (4N) | {hi['replay']['wall_sec']} | {r_hi:,.0f} |
+
+**Scaling efficiency (rate_4N / rate_N) / 4 = {eff:.3f}** (target >= 0.8)
+"""
+    print(block)
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(block)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,8 +59,9 @@ def table_rows(table: SnapshotTable) -> list[tuple]:
     ]
 
 
-def test_replay_matches_oracle_and_is_idempotent(spark, log_dir, tmp_path):
-    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=16)
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_replay_matches_oracle_and_is_idempotent(spark, log_dir, tmp_path, mode):
+    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=16, mode=mode)
     r1 = run_replay(spark, log_dir, table, quarantine_dir=str(tmp_path / "q"))
     assert len(r1.epochs_applied) == SPEC.n_batches
     want = oracle_rows(f"{log_dir}/batch_*/*.parquet")
@@ -102,7 +103,8 @@ def test_out_of_order_epoch_application_converges(spark, log_dir, tmp_path):
     assert table_rows(table) == oracle_rows(f"{log_dir}/batch_*/*.parquet")
 
 
-def test_deletes_remove_rows(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_deletes_remove_rows(spark, tmp_path, mode):
     import pyspark.sql.types as T
 
     schema = T.StructType(
@@ -115,7 +117,7 @@ def test_deletes_remove_rows(spark, tmp_path):
             T.StructField("source", T.StringType()),
         ]
     )
-    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4, mode=mode)
     b1 = spark.createDataFrame(
         [("insert", "a", 1, [1, 2], 2, "web"), ("insert", "b", 2, [3], 1, "web")],
         schema,
@@ -216,22 +218,45 @@ def test_schema_evolution_additive_and_widening(spark, tmp_path):
     assert got == want
 
 
-def test_time_travel_and_compaction(spark, log_dir, tmp_path):
-    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=8)
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_time_travel_and_compaction(spark, log_dir, tmp_path, mode):
+    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=8, mode=mode)
     run_replay(spark, log_dir, table, max_epochs=2)
     v2 = table.current_version()
     rows_v2 = table.state().count()
     run_replay(spark, log_dir, table)
     assert table.state(version=v2).count() == rows_v2  # VERSION AS OF
+    if mode == "mor":
+        # unresolved global deltas exist before compaction
+        assert len(table.manifest()["global_deltas"]) == SPEC.n_batches
     before = table_rows(table)
     table.compact()
     assert table_rows(table) == before
-    # after compaction every bucket points at the single compacted commit
+    # after compaction: no deltas, every bucket -> the one compacted commit
     m = table.manifest()
-    assert len({v for v in m["buckets"].values()}) == 1
+    assert m["global_deltas"] == []
+    assert {len(dirs) for dirs in m["buckets"].values()} == {1}
+    assert len({dirs[0] for dirs in m["buckets"].values()}) == 1
     removed = table.expire_orphans()
     assert removed, "old commit dirs should be vacuumed"
     assert table_rows(table) == before
+
+
+def test_mor_cow_mixed_history_converges(spark, log_dir, tmp_path):
+    """Epochs applied MOR-first then COW on the same table: the COW merge
+    must resolve pending delta chains and still match the oracle."""
+    import os
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import list_batches
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import apply_epoch
+
+    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=8, mode="mor")
+    batches = list_batches(log_dir)
+    for p in batches[:4]:
+        apply_epoch(table, spark.read.parquet(p), os.path.basename(p))
+    table.mode = "cow"
+    for p in batches[4:]:
+        apply_epoch(table, spark.read.parquet(p), os.path.basename(p))
+    assert table_rows(table) == oracle_rows(f"{log_dir}/batch_*/*.parquet")
 
 
 def test_streaming_replay_matches_batch(spark, log_dir, tmp_path):
