@@ -229,27 +229,34 @@ def minhash_jaccard_estimate(
 
 
 def simhash64(text_col: str = "text") -> F.Column:
-    """64-bit SimHash over word hashes, fully JVM-side: for each bit
-    position, sum +/-1 weighted by whether xxhash64(word) has that bit;
-    bit set iff the sum is positive. Near-dups have small Hamming distance."""
+    """63-bit SimHash over word hashes, fully JVM-side (bit 63 unused to
+    stay positive in a signed long): for each bit position, sum +/-1
+    weighted by whether xxhash64(word) has that bit; bit set iff the sum
+    is positive. Near-dups have small Hamming distance.
+
+    Single-fold formulation: Spark cannot CSE across lambda scopes, so 63
+    separate aggregates would re-hash every word 63 times. Instead ONE
+    fold keeps a 63-wide counter array updated with zip_with."""
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
     wh = F.transform(F.array_distinct(words(text_col)), lambda t: F.xxhash64(t))
-    bits = [
-        F.when(
-            F.aggregate(
-                wh,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i in range(63)  # 63 bits: stay positive in a signed long
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    counters = F.aggregate(
+        wh,
+        F.array_repeat(F.lit(0), 63),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda c, m: c + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
 
 
 def simhash_near_dup_pairs(

@@ -185,6 +185,56 @@ def run_replay(
     return result
 
 
+def replay_range(
+    spark: SparkSession,
+    log_dir: str,
+    table: SnapshotTable,
+    start_batch: int = 0,
+    end_batch: int | None = None,
+    **kwargs,
+) -> ReplayResult:
+    """Time/offset-windowed replay (operator T1/T2): re-run only the epochs
+    in [start_batch, end_batch]. The reference copies S3 objects in a
+    LastModified window to re-fire ingest (workflows/replay/app.py:36-96);
+    here a bounded re-read of the log range + idempotent merges gives the
+    same semantics with no copy — already-committed epochs skip, missed
+    ones apply."""
+    result = ReplayResult()
+    batches = list_batches(log_dir)
+    end = end_batch + 1 if end_batch is not None else len(batches)
+    for path in batches[start_batch:end]:
+        epoch_id = os.path.basename(path)
+        if table.has_epoch(epoch_id):
+            result.epochs_skipped.append(epoch_id)
+            continue
+        lineage = apply_epoch(table, spark.read.parquet(path), epoch_id, **kwargs)
+        if lineage is not None:
+            result.epochs_applied.append(epoch_id)
+            result.lineage.append(lineage)
+    return result
+
+
+def redrive_quarantine(
+    spark: SparkSession,
+    quarantine_dir: str,
+    table: SnapshotTable,
+    fix=None,
+) -> dict | None:
+    """DLQ redrive (operator T3, reference scripts/redrive.sh): pull
+    quarantined envelopes, optionally apply a ``fix(df) -> df`` repair,
+    and push the now-valid rows back through the normal merge path under a
+    dedicated epoch. Rows still invalid stay quarantined."""
+    if not os.path.isdir(quarantine_dir):
+        return None
+    df = spark.read.parquet(os.path.join(quarantine_dir, "epoch=*")).drop(
+        "_reject_reason"
+    )
+    if fix is not None:
+        df = fix(df)
+    epoch_id = f"redrive-{len(table.committed_epochs())}"
+    return apply_epoch(table, df, epoch_id, quarantine_dir=None)
+
+
 def run_replay_streaming(
     spark: SparkSession,
     log_dir: str,

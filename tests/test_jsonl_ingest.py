@@ -1,0 +1,137 @@
+"""Reference-parity ingest tests: bronze JSONL -> silver parquet.
+
+Ports of the reference's tests and e2e checks:
+  * happy path + counters (lambdas/ingest/tests/test_ingest.py:15-76)
+  * poisoned record -> quarantine, good ones land
+    (lambdas/transform/tests/test_transform.py:6-21)
+  * blank lines + JSON-array files accepted (lambdas/shared/utils.py:74-94)
+  * unknown record_type rejected (schemas.py:26-28)
+  * timestamp canonicalized to UTC Z (schemas.py:41-47)
+  * silver layout record_type/dt + file bound (transform/app.py:65,92-108)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_serverless_elt_pipeline_enterprise_spark.sources import jsonl as J
+
+GOOD_LINES = [
+    {"record_type": "shipments", "event_time": "2024-03-01T10:00:00+02:00",
+     "shipment_id": "shp_1", "origin": "SZX", "destination": "SEA",
+     "carrier": "UPS", "weight_kg": 12.5},
+    {"record_type": "shipments", "event_time": "2024-03-01T23:59:59Z",
+     "shipment_id": "shp_2", "origin": "HKG", "destination": "JFK",
+     "carrier": "DHL", "weight_kg": 3.25, "extra_col": "dropped"},
+    {"record_type": "tracking_events", "event_time": "2024-03-02T00:00:01Z",
+     "shipment_id": "shp_1", "status": "IN_TRANSIT", "city": "Memphis"},
+    {"record_type": "invoice_lines", "event_time": "2024-03-02T08:30:00Z",
+     "invoice_id": "inv_1", "sku": "SKU-001", "quantity": 3,
+     "unit_price": 19.99, "line_total": 59.97},
+]
+BAD_LINES = [
+    '{"record_type": "frobnicate", "event_time": "2024-03-01T00:00:00Z"}',
+    "not-json at all",
+]
+
+
+@pytest.fixture()
+def bronze(tmp_path):
+    p = tmp_path / "bronze" / "events.jsonl"
+    p.parent.mkdir(parents=True)
+    lines = [json.dumps(r) for r in GOOD_LINES[:2]]
+    lines.append("")  # blank line: skipped
+    lines.append(BAD_LINES[0])
+    lines += [json.dumps(r) for r in GOOD_LINES[2:]]
+    lines.append(BAD_LINES[1])
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_ingest_happy_path_counters(spark, bronze, tmp_path):
+    silver = str(tmp_path / "silver")
+    q = str(tmp_path / "quarantine")
+    counters = J.ingest_bronze_to_silver(spark, bronze, silver, quarantine_dir=q)
+    assert counters == {"records": 4, "dropped": 2}
+    out = spark.read.parquet(silver)
+    assert out.count() == 4
+    # partition layout: record_type=<t>/dt=<d>
+    dirs = {os.path.relpath(d, silver) for d in glob.glob(f"{silver}/record_type=*/dt=*")}
+    assert dirs == {
+        "record_type=shipments/dt=2024-03-01",
+        "record_type=tracking_events/dt=2024-03-02",
+        "record_type=invoice_lines/dt=2024-03-02",
+    }
+    # quarantine has both reject reasons
+    qd = spark.read.json(q)
+    reasons = {r._reject_reason for r in qd.collect()}
+    assert reasons == {"corrupt_json", "unknown_record_type"}
+
+
+def test_timestamp_normalized_to_utc_z(spark, bronze, tmp_path):
+    silver = str(tmp_path / "silver")
+    J.ingest_bronze_to_silver(spark, bronze, silver)
+    ship = spark.read.parquet(silver).filter(F.col("record_type") == "shipments")
+    times = {r.shipment_id: r.event_time for r in ship.collect()}
+    # +02:00 converted to UTC and suffixed Z (reference _iso_to_iso_z)
+    assert times["shp_1"] == "2024-03-01T08:00:00Z"
+    assert times["shp_2"] == "2024-03-01T23:59:59Z"
+
+
+def test_projection_drops_extras_nullfills_missing(spark, bronze):
+    raw = J.read_bronze(spark, bronze)
+    good, _ = J.normalize_bronze(raw)
+    ship = J.project_record_type(good, "shipments")
+    assert ship.columns == [
+        "record_type", "event_time", "shipment_id", "origin",
+        "destination", "carrier", "weight_kg", "dt",
+    ]
+    assert "extra_col" not in ship.columns
+    inv = J.project_record_type(good, "invoice_lines").collect()[0]
+    assert inv.line_total == 59.97 and inv.quantity == 3
+
+
+def test_json_array_file(spark, tmp_path):
+    p = tmp_path / "array.json"
+    p.write_text(json.dumps(GOOD_LINES))
+    raw = J.read_bronze(spark, str(p), multi_line=True)
+    good, bad = J.normalize_bronze(raw)
+    assert good.count() == 4 and bad.count() == 0
+
+
+def test_max_records_per_file_bound(spark, tmp_path):
+    p = tmp_path / "many.jsonl"
+    rows = [
+        json.dumps(
+            {"record_type": "tracking_events",
+             "event_time": "2024-03-02T00:00:01Z",
+             "shipment_id": f"shp_{i}", "status": "CREATED", "city": "X"}
+        )
+        for i in range(250)
+    ]
+    p.write_text("\n".join(rows))
+    silver = str(tmp_path / "silver")
+    raw = J.read_bronze(spark, str(p))
+    good, _ = J.normalize_bronze(raw)
+    J.write_silver(good.drop("_source"), silver, max_records_per_file=100)
+    files = glob.glob(f"{silver}/record_type=*/dt=*/*.parquet")
+    assert len(files) >= 3  # 250 rows / <=100 rows per file
+    import pyarrow.parquet as pq
+
+    assert max(pq.ParquetFile(f).metadata.num_rows for f in files) <= 100
+
+
+def test_reingest_is_append_reference_semantics(spark, bronze, tmp_path):
+    """The reference dedups at the OBJECT level (DynamoDB lock); our silver
+    writer is append-only like the reference's. Object-level idempotency
+    belongs to the caller (epoch-committed SnapshotTable covers it for the
+    CDC path); verify append semantics are what they are."""
+    silver = str(tmp_path / "silver")
+    J.ingest_bronze_to_silver(spark, bronze, silver)
+    J.ingest_bronze_to_silver(spark, bronze, silver)
+    assert spark.read.parquet(silver).count() == 8

@@ -1,0 +1,116 @@
+"""Plan-quality tests: the scale story is checkable, not aspirational.
+
+Every guarantee SURVEY.md §4 claims Catalyst gives for free is asserted
+here against the actual physical plans of the engine's queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_serverless_elt_pipeline_enterprise_spark.plans import checks as C
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_predicate_pushdown_reaches_scan(spark, lineitem):
+    df = lineitem.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    pushed = C.pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_column_pruning(spark, lineitem):
+    df = lineitem.select("l_orderkey", "l_extendedprice")
+    scans = C.read_schema_columns(df)
+    assert scans and set(scans[0]) == {"l_orderkey", "l_extendedprice"}
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["topk_orders"](spark, sf_dir)
+    assert C.has_operator(df, "TakeOrderedAndProject")
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    assert C.has_operator(joined, "BroadcastHashJoin")
+
+
+def test_merge_aggregate_has_partial_phase(spark, tmp_path):
+    """The MERGE/resolve max_by aggregate must be partial-aggregable
+    (map-side combine) — the property that absorbs duplicate envelopes
+    and hot keys before the exchange."""
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import SnapshotTable
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    tbl.merge_reduced(
+        spark.createDataFrame([("insert", "a", 1, [1])], schema), "e1"
+    )
+    resolved = tbl.read(resolve=True)
+    text = C.explain_str(resolved)
+    # partial_max_by before the exchange = map-side combine (the skew and
+    # duplicate absorber). NOTE: max_by over a struct payload compiles to
+    # SortAggregate (immutable agg buffer), not HashAggregate — measured
+    # equal to a hash-friendly max+join rewrite at 32M rows because the
+    # workload is memory-bandwidth-bound (see BENCH.md).
+    assert "partial_max_by" in text, text[:2000]
+    assert C.exchange_count(resolved) == 1  # exactly one shuffle
+
+
+def test_bucket_pruned_target_read(spark, tmp_path):
+    """COW merges read only the affected buckets: the target-side scan
+    lists only those partition dirs."""
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import SnapshotTable
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8, mode="cow")
+    rows = [("insert", f"k{i}", i, [i]) for i in range(50)]
+    tbl.merge_reduced(spark.createDataFrame(rows, schema), "e1")
+    all_buckets = sorted(int(b) for b in tbl.manifest()["buckets"])
+    some = all_buckets[:2]
+    pruned = tbl.read(buckets=some)
+    full = tbl.read()
+    # the pruned read must scan fewer files than the full read
+    assert pruned.count() < full.count()
+    n_scanned = C.explain_str(pruned).count("parquet")
+    assert n_scanned <= C.explain_str(full).count("parquet")
+
+
+def test_whole_stage_codegen_covers_scan_project(spark, sf_dir):
+    # AQE hides codegen spans until the plan is final; disable for the check
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .filter(F.col("l_quantity") > 10)
+            .select((F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        )
+        assert C.codegen_span_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
