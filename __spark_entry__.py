@@ -180,6 +180,90 @@ def q_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_field_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: coalesce-style field fallbacks + constant literals + casts
+    (reference transform_record, ups_shipping/handler.py:31-49)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.missing"), F.col("event_type")
+        ).alias("mapped_type"),
+        F.lit("cdc_engine").alias("raw_source"),
+        F.col("value").cast("string").alias("value_str"),
+    ).orderBy("event_id")
+
+
+def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/O2: freshness probe — count rows at/after a threshold + newest
+    timestamp (reference workflows/quality/app.py:46-62)."""
+    ev = _t(spark, sf_dir, "events")
+    thresh = "2024-01-02 00:00:00"
+    return ev.agg(
+        F.count_if(F.col("ts") >= F.lit(thresh).cast("timestamp")).alias("n_fresh"),
+        F.max("ts").alias("newest"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate (absent in the reference, §2.6; the engine supports
+    it): orders enriched with customer nation, broadcast dim."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window running aggregate per key ordered by seq (cumulative count
+    keeps it engine-exact)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("nth_event"),
+    ).orderBy("user_id", "event_id")
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (engine-portable formulation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("dt"))
+        .agg(
+            F.count_if(F.col("event_type") == "click").alias("n_click"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchase"),
+            F.count_if(F.col("event_type") == "error").alias("n_error"),
+        )
+        .orderBy("dt")
+    )
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grand-totals (multi-level aggregate)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5) — the exact-dedup key."""
     d = _t(spark, sf_dir, "documents")
@@ -283,6 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_normalize": q_ts_normalize,
         "json_extract": q_json_extract,
         "hourly_counts": q_hourly_counts,
+        "field_mapping": q_field_mapping,
+        "quality_probe": q_quality_probe,
+        "join_enrich": q_join_enrich,
+        "running_sum": q_running_sum,
+        "pivot_counts": q_pivot_counts,
+        "rollup_counts": q_rollup_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -371,6 +461,47 @@ def oracle_sql() -> dict[str, str]:
         "hourly_counts": """
             SELECT date_trunc('hour', ts) AS hour_start, count(*) AS cnt
             FROM events GROUP BY 1 ORDER BY hour_start
+        """,
+        "field_mapping": """
+            SELECT event_id,
+                   coalesce(json_extract_string(props, '$.missing'),
+                            event_type)              AS mapped_type,
+                   'cdc_engine'                      AS raw_source,
+                   CAST(value AS VARCHAR)            AS value_str
+            FROM events ORDER BY event_id
+        """,
+        "quality_probe": """
+            SELECT count(*) FILTER (ts >= TIMESTAMP '2024-01-02 00:00:00')
+                       AS n_fresh,
+                   max(ts) AS newest,
+                   count(*) AS n_total
+            FROM events
+        """,
+        "join_enrich": """
+            SELECT c_nationkey,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "running_sum": """
+            SELECT user_id, event_id,
+                   count(*) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS nth_event
+            FROM events ORDER BY user_id, event_id
+        """,
+        "pivot_counts": """
+            SELECT CAST(ts AS DATE) AS dt,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'error')    AS n_error
+            FROM events GROUP BY 1 ORDER BY dt
+        """,
+        "rollup_counts": """
+            SELECT event_type, count(*) AS cnt
+            FROM events GROUP BY ROLLUP (event_type)
+            ORDER BY event_type ASC NULLS FIRST
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id

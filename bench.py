@@ -50,6 +50,12 @@ BENCH_QUERIES = [
     "ts_normalize",
     "json_extract",
     "hourly_counts",
+    "field_mapping",
+    "quality_probe",
+    "join_enrich",
+    "running_sum",
+    "pivot_counts",
+    "rollup_counts",
     "doc_fingerprint",
     "exact_dup_groups",
     "text_quality",
