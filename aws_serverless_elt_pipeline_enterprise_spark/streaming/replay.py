@@ -142,6 +142,7 @@ def run_replay(
     salted: bool = True,
     n_salts: int = 16,
     max_epochs: int | None = None,
+    compact_every: int | None = None,
 ) -> ReplayResult:
     """Batch replay over epoch dirs (ordered). Resumable from any point:
     the committed-epoch set in the table manifest is the checkpoint; the
@@ -173,6 +174,8 @@ def run_replay(
         if lineage is not None:
             result.epochs_applied.append(epoch_id)
             result.lineage.append(lineage)
+        if compact_every is not None:
+            table.maybe_compact(max_deltas=compact_every)
         # commit-then-checkpoint: table state is authoritative; the file is
         # written only after the table owns the epoch
         if ckpt_file:

@@ -647,6 +647,16 @@ class SnapshotTable:
         )
         return lineage
 
+    def maybe_compact(self, max_deltas: int = 16) -> dict | None:
+        """Maintenance policy: compact when the unresolved delta chain
+        exceeds ``max_deltas`` — bounds MOR read amplification the way
+        Hudi's compaction scheduling / Iceberg's rewrite policies do. Call
+        it from the replay loop; it is a no-op otherwise."""
+        m = self.manifest()
+        if m is None or len(m.get("global_deltas", [])) < max_deltas:
+            return None
+        return self.compact()
+
     def expire_orphans(self) -> list[str]:
         """Remove commit dirs unreferenced by the latest manifest (vacuum).
         Old manifests lose time-travel to expired commits, like Iceberg's

@@ -109,3 +109,45 @@ def test_lineage_metrics_surface(spark, tmp_path):
     mdf = spark.createDataFrame(lin)
     total = mdf.agg(F.sum("rows_in_batch")).collect()[0][0]
     assert total == spec.n_events
+
+
+def test_auto_compaction_policy(spark, tmp_path):
+    spec = ChangelogSpec(n_events=3_000, n_keys=200, n_batches=6, seed=9)
+    log = str(tmp_path / "log")
+    generate_changelog(spark, log, spec)
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor")
+    run_replay(spark, log, table, compact_every=3)
+    m = table.manifest()
+    # the chain was folded along the way: never more than 3 pending deltas
+    assert len(m["global_deltas"]) < 3
+    # and the state still matches a clean full replay
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), n_buckets=8, mode="mor")
+    run_replay(spark, log, t2)
+    a = [tuple(r) for r in table.state().orderBy("doc_id").collect()]
+    b = [tuple(r) for r in t2.state().orderBy("doc_id").collect()]
+    assert a == b
+
+
+def test_streaming_lineage_listener(spark, tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.metrics import (
+        LineageListener,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        run_replay_streaming,
+    )
+
+    spec = ChangelogSpec(n_events=3_000, n_keys=200, n_batches=3, seed=13)
+    log = str(tmp_path / "log")
+    generate_changelog(spark, log, spec)
+    listener = LineageListener()
+    spark.streams.addListener(listener)
+    try:
+        table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor")
+        run_replay_streaming(spark, log, table, checkpoint_dir=str(tmp_path / "ck"))
+    finally:
+        spark.streams.removeListener(listener)
+    rows = [p for p in listener.progress if p["num_input_rows"] > 0]
+    assert rows, "listener must capture micro-batch progress"
+    assert sum(p["num_input_rows"] for p in rows) == spec.n_events
+    df = listener.to_df(spark)
+    assert df is not None and "end_offset" in df.columns

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis): the engine's core invariant is
+ORDER-INDEPENDENCE — any partition of any event multiset into any epoch
+sequence converges to the same final state."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import apply_epoch
+from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import SnapshotTable
+
+ENVELOPE = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+# a small universe of events: every field is a pure function of (key, seq)
+# so duplicate (key, seq) pairs are exact copies — the envelope contract
+def _event(key: int, seq: int):
+    if (key + seq) % 5 == 0:
+        return ("delete", f"k{key}", seq, None, None, None)
+    op = "insert" if seq % 2 == 0 else "update"
+    toks = [(key * 31 + seq * 17 + j) % 997 for j in range((key + seq) % 6 + 1)]
+    return (op, f"k{key}", seq, toks, len(toks), "web")
+
+
+def oracle_state(events):
+    latest = {}
+    for ev in events:
+        op, k, seq = ev[0], ev[1], ev[2]
+        if k not in latest or seq > latest[k][0]:
+            latest[k] = (seq, op, ev[3])
+    return {
+        k: tuple(toks) for k, (seq, op, toks) in latest.items() if op != "delete"
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 30)), min_size=1, max_size=60
+    ),
+    n_epochs=st.integers(1, 4),
+    seed=st.integers(0, 2**16),
+    mode=st.sampled_from(["cow", "mor"]),
+)
+def test_any_partition_any_order_converges(spark, tmp_path_factory, data, n_epochs, seed, mode):
+    events = [_event(k, s) for k, s in data]  # duplicates possible: exact copies
+    # deterministic pseudo-random partition into epochs + epoch order
+    epochs = [[] for _ in range(n_epochs)]
+    for i, ev in enumerate(events):
+        epochs[(i * 2654435761 + seed) % n_epochs].append(ev)
+    order = sorted(range(n_epochs), key=lambda i: (i * 40503 + seed) % 65536)
+
+    root = str(tmp_path_factory.mktemp("prop"))
+    table = SnapshotTable(spark, root, n_buckets=4, mode=mode)
+    for idx in order:
+        if epochs[idx]:
+            df = spark.createDataFrame(epochs[idx], ENVELOPE)
+            apply_epoch(table, df, f"e{idx}")
+    got = {
+        r.doc_id: tuple(r.tokens)
+        for r in table.state().select("doc_id", "tokens").collect()
+    }
+    assert got == oracle_state(events)
