@@ -79,12 +79,12 @@ def sf_of(sf_dir: str) -> float:
 
 
 def work_root() -> str:
-    """Scratch root. SPARK_GRAFT_TMPFS=1 puts table + log + shuffle on
-    tmpfs: a single local disk (~800 MB/s here) is a SHARED resource that
-    cannot scale with parallelism, whereas on a real cluster both HDFS/S3
-    and shuffle bandwidth scale with executor count — tmpfs is the honest
+    """Scratch root: tmpfs by default (SPARK_GRAFT_TMPFS=0 opts out). A
+    single local disk (~800 MB/s here) is a SHARED resource that cannot
+    scale with parallelism, whereas on a real cluster both HDFS/S3 and
+    shuffle bandwidth scale with executor count — tmpfs is the honest
     single-box stand-in for that (documented in BENCH.md)."""
-    if os.environ.get("SPARK_GRAFT_TMPFS") == "1":
+    if os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0" and os.path.isdir("/dev/shm"):
         return "/dev/shm/spark_graft_bench"
     return "/tmp/spark_graft_bench"
 
@@ -131,7 +131,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
     extra = {}
-    if os.environ.get("SPARK_GRAFT_TMPFS") == "1":
+    if work_root().startswith("/dev/shm"):
         os.makedirs("/dev/shm/spark_graft_bench/local", exist_ok=True)
         extra["spark.local.dir"] = "/dev/shm/spark_graft_bench/local"
     spark = get_spark(

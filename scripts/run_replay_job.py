@@ -1,0 +1,99 @@
+"""spark-submit entry point for the CDC replay job.
+
+Cluster usage (the north-rule deployment shape)::
+
+    zip -r engine.zip aws_serverless_elt_pipeline_enterprise_spark
+    spark-submit --py-files engine.zip \
+        scripts/run_replay_job.py \
+        --log-dir  s3a://bucket/changelog \
+        --table    s3a://bucket/tables/sequences \
+        --mode mor --n-buckets 4096 --compact-every 16 \
+        --checkpoint s3a://bucket/ck/sequences \
+        --quarantine s3a://bucket/quarantine/sequences
+
+Local smoke::
+
+    python scripts/run_replay_job.py --log-dir /tmp/log --table /tmp/tbl
+
+The session factory only sets master when SPARK_GRAFT_CPUS-style local
+runs are wanted; under spark-submit the cluster manager's master wins.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="CDC replay -> snapshot table")
+    ap.add_argument("--log-dir", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--quarantine", default=None)
+    ap.add_argument("--compact-every", type=int, default=None)
+    ap.add_argument("--streaming", action="store_true",
+                    help="Structured Streaming driver (availableNow) instead of the epoch loop")
+    ap.add_argument("--final-compact", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        run_replay,
+        run_replay_streaming,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        SnapshotTable,
+    )
+
+    builder = SparkSession.builder.appName("cdc-replay")
+    if not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
+        # bare-python local run: fall back to the tuned local session
+        from aws_serverless_elt_pipeline_enterprise_spark.session import get_spark
+
+        spark = get_spark(app_name="cdc-replay")
+    else:
+        spark = builder.getOrCreate()
+
+    table = SnapshotTable(spark, args.table, n_buckets=args.n_buckets, mode=args.mode)
+    if args.streaming:
+        run_replay_streaming(
+            spark, args.log_dir, table, checkpoint_dir=args.checkpoint or args.table + "_ck"
+        )
+        summary = {"driver": "streaming"}
+    else:
+        result = run_replay(
+            spark,
+            args.log_dir,
+            table,
+            checkpoint_dir=args.checkpoint,
+            quarantine_dir=args.quarantine,
+            compact_every=args.compact_every,
+        )
+        summary = {
+            "driver": "batch",
+            "epochs_applied": len(result.epochs_applied),
+            "epochs_skipped": len(result.epochs_skipped),
+        }
+    if args.final_compact:
+        table.compact()
+    summary.update(
+        {
+            "version": table.current_version(),
+            "rows": table.state().count(),
+            "committed_epochs": len(table.committed_epochs()),
+        }
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
