@@ -264,6 +264,50 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregate (sort-based, engine-portable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("median_price"),
+            F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users who clicked but never purchased (EXCEPT)."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers).orderBy("user_id")  # EXCEPT (distinct)
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti join: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag window: per-user value delta between consecutive events (raw
+    double subtraction of identical operands -> engine-exact)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    ).orderBy("user_id", "event_id")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5) — the exact-dedup key."""
     d = _t(spark, sf_dir, "documents")
@@ -373,6 +417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_sum": q_running_sum,
         "pivot_counts": q_pivot_counts,
         "rollup_counts": q_rollup_counts,
+        "median_price": q_median_price,
+        "set_ops": q_set_ops,
+        "anti_join": q_anti_join,
+        "lag_delta": q_lag_delta,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -502,6 +550,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS cnt
             FROM events GROUP BY ROLLUP (event_type)
             ORDER BY event_type ASC NULLS FIRST
+        """,
+        "median_price": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5)  AS median_price,
+                   quantile_cont(l_extendedprice, 0.95) AS p95_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "set_ops": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "lag_delta": """
+            SELECT user_id, event_id,
+                   value - lag(value) OVER (PARTITION BY user_id
+                                            ORDER BY event_id) AS value_delta
+            FROM events ORDER BY user_id, event_id
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id

@@ -1,0 +1,92 @@
+"""Streaming windowed aggregation with watermarks (§2.9): the dt-partition
+rollup of the reference as a real event-time window over the change log."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+    ChangelogSpec,
+    generate_changelog,
+)
+
+
+def _stream(spark, log_dir):
+    schema = spark.read.parquet(f"{log_dir}/batch_00000").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(f"{log_dir}/batch_*")
+    )
+
+
+def test_windowed_count_complete_mode_matches_batch(spark, tmp_path):
+    log = str(tmp_path / "log")
+    generate_changelog(
+        spark, log, ChangelogSpec(n_events=6_000, n_keys=500, n_batches=4, seed=21)
+    )
+    agg = (
+        _stream(spark, log)
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.w.start, r.w.end): r.cnt
+        for r in spark.sql("select * from winagg").collect()
+    }
+    want = {
+        (r.w.start, r.w.end): r.cnt
+        for r in spark.read.parquet(f"{log}/batch_*")
+        .groupBy(F.window("event_time", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_windowed_count_append_mode_emits_closed_windows(spark, tmp_path):
+    """Append mode emits only windows sealed by the watermark — each
+    emitted window must carry its final (batch-equal) count, and open
+    windows at end-of-stream are withheld."""
+    log = str(tmp_path / "log")
+    generate_changelog(
+        spark, log, ChangelogSpec(n_events=6_000, n_keys=500, n_batches=4, seed=22)
+    )
+    agg = (
+        _stream(spark, log)
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winappend")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.w.start, r.w.end): r.cnt
+        for r in spark.sql("select * from winappend").collect()
+    }
+    want = {
+        (r.w.start, r.w.end): r.cnt
+        for r in spark.read.parquet(f"{log}/batch_*")
+        .groupBy(F.window("event_time", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got, "append mode must emit sealed windows"
+    assert set(got) < set(want), "open tail windows are withheld"
+    for k, v in got.items():
+        assert v == want[k], f"sealed window {k} must carry its final count"
