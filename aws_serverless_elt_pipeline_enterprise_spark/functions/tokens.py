@@ -58,27 +58,52 @@ def token_stats(col: str = "tokens") -> list[F.Column]:
 # processed with numpy vector ops, no per-row Python in the hot loop.
 
 
+ROLLING_HASH_M = (1 << 31) - 1  # Mersenne prime: keeps every numpy
+# intermediate < 2^54, so the whole batch vectorizes in uint64
+ROLLING_HASH_P = 1_000_003
+
+
 @pandas_udf(T.LongType())
 def tokens_rolling_hash(tokens: pd.Series) -> pd.Series:
     """Polynomial rolling hash over the token sequence (document
-    fingerprint). Vectorized per Arrow batch via numpy: for each row,
-    h = sum(t_i * P^(n-1-i)) mod M with P=1000003, M=2^61-1."""
-    M = (1 << 61) - 1
-    P = 1000003
+    fingerprint): h = sum((t_j + 1) * P^(n-1-j)) mod M.
 
-    def one(arr) -> int:
-        if arr is None:
-            return 0
-        a = np.asarray(arr, dtype=np.uint64)
-        h = np.uint64(0)
-        # Horner's rule; python ints to avoid uint64 overflow wraparound
-        hh = 0
-        for chunk_start in range(0, len(a), 4096):
-            for t in a[chunk_start : chunk_start + 4096].tolist():
-                hh = (hh * P + int(t) + 1) % M
-        return hh
-
-    return tokens.map(one)
+    TRULY vectorized per Arrow batch: all rows' tokens are concatenated
+    into one flat array, exponents come from a precomputed power table,
+    and per-row sums use np.add.reduceat — zero per-row Python. (An
+    earlier row-looped version was 2.4x SLOWER than a plain per-row UDF;
+    Arrow transfer alone is not vectorization. Measured in BENCH.md.)"""
+    M, P = ROLLING_HASH_M, ROLLING_HASH_P
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in tokens), dtype=np.int64, count=len(tokens)
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series(np.zeros(len(tokens), dtype=np.int64))
+    flat = np.empty(total, dtype=np.uint64)
+    pos = 0
+    for a in tokens:  # cheap: one slice-assign per row, no per-token work
+        if a is not None and len(a):
+            flat[pos : pos + len(a)] = a
+            pos += len(a)
+    max_len = int(lens.max())
+    pow_table = np.empty(max_len, dtype=np.uint64)
+    acc = 1
+    for e in range(max_len):  # max_len-bounded, not row-count-bounded
+        pow_table[e] = acc
+        acc = (acc * P) % M
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # exponent per element = (row_end - 1 - index)
+    idx = np.arange(total, dtype=np.int64)
+    row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    exp = (starts[row_of] + lens[row_of] - 1 - idx).astype(np.int64)
+    terms = ((flat + np.uint64(1)) * pow_table[exp]) % np.uint64(M)
+    nonempty = lens > 0
+    sums = np.add.reduceat(terms, starts[nonempty]) % np.uint64(M)
+    out = np.zeros(len(lens), dtype=np.int64)
+    out[nonempty] = sums.astype(np.int64)
+    return pd.Series(out)
 
 
 @pandas_udf(T.ArrayType(T.IntegerType()))

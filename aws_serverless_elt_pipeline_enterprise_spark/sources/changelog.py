@@ -84,6 +84,9 @@ class ChangelogSpec:
     # batch index (0-based) at which quality_score appears and n_tok widens;
     # None disables schema evolution
     evolve_at_batch: int | None = None
+    # fraction of malformed envelopes (unknown op / null payload on a
+    # non-delete) -> must land in quarantine (FIXTURES.md §1)
+    malformed_rate: float = 0.0
 
 
 def _mix(*cols) -> F.Column:
@@ -128,6 +131,12 @@ def changelog_df(spark: SparkSession, spec: ChangelogSpec) -> DataFrame:
         .when(h_op % 2 == 0, F.lit("insert"))
         .otherwise(F.lit("update"))
     )
+    if spec.malformed_rate > 0:
+        h_bad = F.abs(_mix(F.col("i"), s, F.lit("bad"))) % 1_000_000
+        op = F.when(
+            h_bad < int(spec.malformed_rate * 1_000_000), F.lit("frobnicate")
+        ).otherwise(op)
+        is_del = is_del & (h_bad >= int(spec.malformed_rate * 1_000_000))
     df = df.withColumn("op", op)
 
     # event_time: derived from seq (1s per event from a fixed epoch)

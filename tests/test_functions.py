@@ -138,7 +138,11 @@ def test_tokens_rolling_hash_vectorized(spark):
     assert rows[0].h != rows[2].h
     assert rows[3].h == 0
     # cross-check against plain python
-    M, P = (1 << 61) - 1, 1000003
+    from aws_serverless_elt_pipeline_enterprise_spark.functions.tokens import (
+        ROLLING_HASH_M as M,
+        ROLLING_HASH_P as P,
+    )
+
     want = 0
     for t in [1, 2, 3]:
         want = (want * P + t + 1) % M
