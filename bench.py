@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "running_sum",
     "pivot_counts",
     "rollup_counts",
+    "median_price",
+    "set_ops",
+    "anti_join",
+    "lag_delta",
     "doc_fingerprint",
     "exact_dup_groups",
     "text_quality",
