@@ -40,6 +40,10 @@ from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E4
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamps in the testdata are naive/UTC and DuckDB treats them as
+    # such; pin the session TZ so date/hour derivations agree regardless
+    # of how the caller configured the session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
