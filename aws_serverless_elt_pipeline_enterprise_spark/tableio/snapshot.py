@@ -294,6 +294,24 @@ class SnapshotTable:
             .drop(self.SEQ_COL, self.DEL_COL, self.BUCKET_COL)
         )
 
+    def lookup(self, keys: list[str], version: int | None = None) -> DataFrame:
+        """Point lookups via bucket pruning: only the hash buckets of the
+        requested keys are scanned (plus any pending global deltas). At
+        10^10 rows / 4096 buckets this reads ~1/4096th of the table per
+        distinct bucket instead of scanning it."""
+        key_rows = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField("k", T.StringType())])
+        ).select(
+            F.pmod(F.xxhash64(F.col("k")), F.lit(self.n_buckets)).cast("int").alias("b")
+        )
+        buckets = sorted({r.b for r in key_rows.distinct().collect()})
+        df = self.read(version=version, buckets=buckets)
+        return (
+            df.filter(F.col(self.key_col).isin(*keys))
+            .filter(~F.coalesce(F.col(self.DEL_COL), F.lit(False)))
+            .drop(self.SEQ_COL, self.DEL_COL, self.BUCKET_COL)
+        )
+
     def _empty(self, schema: T.StructType | None) -> DataFrame:
         schema = schema or T.StructType([])
         return self.spark.createDataFrame([], self._data_schema(schema))
