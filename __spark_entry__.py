@@ -327,9 +327,12 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs (inverted-index join)."""
+    """Word-3-gram Jaccard near-dup pairs (inverted-index join). df_cap
+    drops shingles appearing in >100 docs from the universe — the scale
+    guard that keeps a stop-phrase shingle from producing an all-pairs
+    join at 100 TB; the oracle applies the identical cap."""
     d = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(d, threshold=0.5).orderBy("a", "b")
+    return dd.ngram_jaccard_pairs(d, threshold=0.5, df_cap=100).orderBy("a", "b")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,30 +369,40 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k vs the vec_id=0 embedding (rows-only:
-    floating scores are not engine-portable bit-for-bit)."""
+    """Brute-force cosine top-k vs the vec_id=0 embedding over
+    floor-quantized integer components — exact bigint dot/norm sums plus
+    one IEEE divide, so scores are bit-identical across engines and the
+    query is fully oracle-checked (float-fold cosine stays available as
+    sim.brute_force_topk for production use)."""
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return sim.brute_force_topk(e.filter(F.col("vec_id") != 0), list(qv), k=20)
+    return sim.quantized_cosine_topk(e.filter(F.col("vec_id") != 0), list(qv), k=20)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs with estimated Jaccard (rows-only;
-    recall vs exact Jaccard is asserted in tests/test_dedupe.py)."""
+    """Full MinHash+LSH chain (signatures computed once -> banded
+    candidates -> per-pair Jaccard estimate). hash_mode='portable' uses
+    the md5-derived 60-bit shingle hash so DuckDB replays the identical
+    chain end-to-end (full oracle)."""
     d = _t(spark, sf_dir, "documents")
-    cand = dd.minhash_lsh_candidates(d, k=32, bands=8)
-    return dd.minhash_jaccard_estimate(d, cand, k=32).orderBy("a", "b")
+    return dd.minhash_lsh_pairs(d, k=32, bands=8, hash_mode="portable").orderBy(
+        "a", "b"
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only; block-bucketed, hamming<=3)."""
+    """SimHash near-dup pairs (block-bucketed, hamming<=3). Portable word
+    hash -> the DuckDB oracle recomputes the identical simhash and checks
+    pairs + hamming distances exactly."""
     d = _t(spark, sf_dir, "documents")
-    return dd.simhash_near_dup_pairs(d).orderBy("a", "b")
+    return dd.simhash_near_dup_pairs(d, hash_mode="portable").orderBy("a", "b")
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing of tokenized docs (applyInPandas;
-    rows-only)."""
+    rows-only). The raw token array is projected to an order-sensitive
+    64-bit hash so the result is harness-canonicalizable (the driver
+    sorts/hashes columns; array<int> cells are unhashable in pandas)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -398,9 +411,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
         ).alias("tokens"),
     )
-    return tk.pack_sequences(toks, max_len=512, key="doc_id").orderBy(
-        "pack_bucket", "pack_id"
-    )
+    packed = tk.pack_sequences(toks, max_len=512, key="doc_id")
+    return packed.select(
+        "pack_bucket",
+        "pack_id",
+        tk.token_array_hash("tokens").alias("tokens_hash"),
+        "n_docs",
+        "n_tok",
+    ).orderBy("pack_bucket", "pack_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -490,14 +508,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (l_extendedprice < 0)      AS neg_price_rows
             FROM lineitem
         """,
+        # DuckDB sum(BIGINT) yields HUGEINT (-> float64 in pandas); cast the
+        # sums back to BIGINT so dtypes match Spark's int64 in the driver
+        # canonicalizer (values were already identical).
         "revenue": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                            AS BIGINT))                       AS revenue_e4,
-                   sum(CAST(l_quantity AS BIGINT))            AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT))
+                        AS BIGINT)                            AS revenue_e4,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    count(*)                                   AS n_rows,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                            AS BIGINT)) / 10000.0             AS revenue
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT))
+                        AS BIGINT) / 10000.0                  AS revenue
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
@@ -532,7 +555,8 @@ def oracle_sql() -> dict[str, str]:
         "join_enrich": """
             SELECT c_nationkey,
                    count(*) AS n_orders,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
         """,
@@ -590,12 +614,16 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), ' +') AS w
               FROM documents
-            ), sh AS (
+            ), sh_all AS (
               SELECT DISTINCT doc_id, s FROM toks,
                 UNNEST(list_transform(
                   range(1, greatest(len(w) - 2, 0) + 1),
                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                 )) AS u(s)
+            ), rare AS (
+              SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100
+            ), sh AS (
+              SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN rare USING (s)
             ), sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
             ), overlap AS (
@@ -658,9 +686,110 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text)                    AS checksum
             FROM documents ORDER BY media_id
         """,
-        # embedding_topk, minhash_lsh_pairs, simhash_pairs, pack_sequences:
-        # intentionally omitted -> rows-only check (floating scores / custom
-        # hash families / stateful packing are not ANSI-SQL-portable).
+        # Full-chain oracles for the similarity family: the engine queries
+        # run in hash_mode='portable' (md5-derived 60-bit hash,
+        # functions/dedupe.py:portable_hash60) so DuckDB can replay the
+        # exact MinHash permutations / SimHash bit votes / quantized
+        # cosine and the driver hash-checks values, not just row counts.
+        "embedding_topk": """
+            WITH q AS (
+              SELECT list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ), c AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS cv
+              FROM embeddings WHERE vec_id <> 0
+            ), s AS (
+              SELECT vec_id,
+                     CAST(list_sum(list_transform(range(1, len(cv)+1),
+                                                  i -> cv[i]*qv[i]))
+                          AS BIGINT) AS dot_q,
+                     CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS na,
+                     CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nb
+              FROM c, q
+            )
+            SELECT vec_id, dot_q,
+                   CAST(dot_q AS DOUBLE)
+                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                     AS score
+            FROM s ORDER BY score DESC, vec_id LIMIT 20
+        """,
+        "minhash_lsh_pairs": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, s FROM toks,
+                UNNEST(list_transform(
+                  range(1, greatest(len(w) - 2, 0) + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                )) AS u(s)
+            ), x AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)
+                       % 2147483647 AS x
+              FROM sh
+            ), perm AS (
+              SELECT i,
+                     ((42*1000003 + i*2654435761 + 1) % 1048576) | 1 AS a_c,
+                     (42*97 + i*1234567891) % 2147483647 AS b_c
+              FROM range(0, 32) r(i)
+            ), hs AS (
+              SELECT doc_id, i, min((a_c * x + b_c) % 2147483647) AS hmin
+              FROM x CROSS JOIN perm GROUP BY doc_id, i
+            ), sigs AS (
+              SELECT doc_id, list(hmin ORDER BY i) AS sig FROM hs GROUP BY doc_id
+            ), banded AS (
+              SELECT doc_id, b AS band_id,
+                     array_to_string(list_slice(sig, b*4+1, b*4+4), ',')
+                       AS band_hash
+              FROM sigs CROSS JOIN range(0, 8) r(b)
+            ), cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM banded x JOIN banded y
+                ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+               AND x.doc_id < y.doc_id
+            )
+            SELECT c.a, c.b,
+                   CAST(len(list_filter(range(1, 33),
+                                        i -> sa.sig[i] = sb.sig[i]))
+                        AS DOUBLE) / 32 AS jaccard_est
+            FROM cand c
+            JOIN sigs sa ON sa.doc_id = c.a
+            JOIN sigs sb ON sb.doc_id = c.b
+            ORDER BY a, b
+        """,
+        "simhash_pairs": """
+            WITH w AS (
+              SELECT DISTINCT doc_id, u.word
+              FROM documents,
+                   UNNEST(string_split_regex(trim(text), ' +')) AS u(word)
+            ), h AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(word),1,15)) AS BIGINT) AS h
+              FROM w
+            ), bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN ((h >> CAST(i AS INTEGER)) & 1) = 1
+                              THEN 1 ELSE -1 END) AS c
+              FROM h CROSS JOIN range(0, 63) r(i) GROUP BY doc_id, i
+            ), sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN c > 0
+                                   THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                                   ELSE 0 END) AS BIGINT) AS sh
+              FROM bits GROUP BY doc_id
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.sh, y.sh)) <= 3
+            ORDER BY a, b
+        """,
+        # pack_sequences: intentionally omitted -> rows-only check (the
+        # bucket-local greedy packing fold is stateful, not ANSI-SQL).
     }
 
 

@@ -30,6 +30,23 @@ from aws_serverless_elt_pipeline_enterprise_spark.functions.text import (
 MERSENNE_P = (1 << 61) - 1
 
 
+def portable_hash60(col: F.Column | str) -> F.Column:
+    """Engine-portable 60-bit string hash: the first 15 hex digits of md5,
+    parsed as an integer. Bit-identical in Spark
+    (conv(substr(md5(s),1,15),16,10)) and DuckDB
+    (CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)) — used by the
+    'portable' hash mode so MinHash/SimHash chains are oracle-checkable.
+    xxhash64 stays the default (faster, but DuckDB can't reproduce it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(col: F.Column, hash_mode: str) -> F.Column:
+    if hash_mode == "portable":
+        return portable_hash60(col)
+    return F.xxhash64(col)
+
+
 def exact_dup_groups(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content hash: (keeper, n_copies) for
     groups with >1 member. One shuffle on the md5 fingerprint."""
@@ -42,13 +59,17 @@ def exact_dup_groups(df: DataFrame, text: str = "text", key: str = "doc_id") -> 
 
 
 def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles (array<string>), JVM-side."""
+    """Distinct word n-gram shingles (array<string>), JVM-side.
+
+    Docs with fewer than n words yield an empty array. The guard matters:
+    sequence(1, 0) in Spark is the DESCENDING [1, 0] (default step -1),
+    which would feed slice(w, 0, n) and throw INVALID_PARAMETER_VALUE."""
     w = words(text_col)
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        )
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
     )
 
 
@@ -70,10 +91,13 @@ def ngram_jaccard_pairs(
 
     Plan: shingle-set sizes (one pass) + inverted-index self-join on the
     shingle (the only big shuffle) + per-pair overlap count + Jaccard from
-    |A|,|B|,|A∩B|. ``df_cap`` drops shingles with document frequency above
-    the cap before the join (scale guard)."""
+    |A|,|B|,|A∩B|. ``df_cap`` is the scale guard: shingles whose document
+    frequency exceeds the cap are dropped from the shingle UNIVERSE (sizes
+    and overlaps both) before the join — a stop-phrase shingle shared by
+    10^6 docs would otherwise emit a 10^12-row join output. Capped
+    semantics are exact and oracle-checkable: Jaccard over the
+    discriminative (rare) shingle sets."""
     sh = shingle_explode(df, key, text, n)
-    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
     if df_cap is not None:
         rare = (
             sh.groupBy("shingle")
@@ -82,6 +106,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(key).alias("a"), "shingle")
     b = sh.select(F.col(key).alias("b"), "shingle")
     overlap = (
@@ -108,12 +133,15 @@ def ngram_jaccard_pairs(
 _MH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
 
 
-def _minhash_sig(shingles: F.Column, k: int, seed: int = 42) -> F.Column:
+def _minhash_sig(
+    shingles: F.Column, k: int, seed: int = 42, hash_mode: str = "xxhash64"
+) -> F.Column:
     """k-permutation MinHash signature (array<bigint>), all JVM-side:
-    shingle id x = xxhash64(shingle) mod p; h_i(x) = (a_i*x + b_i) mod p.
+    shingle id x = hash64(shingle) mod p; h_i(x) = (a_i*x + b_i) mod p.
     a_i < 2^20 and x < 2^31 keep a*x + b < 2^52 — no signed-long overflow
     in the JVM expression (overflow would silently wrap and break
-    determinism claims)."""
+    determinism claims). hash_mode='portable' uses the md5-derived 60-bit
+    hash so DuckDB can replay the identical chain (oracle checking)."""
     # Spark cannot common-subexpression-eliminate across lambda scopes, so
     # k separate `array_min(transform(...))` expressions would recompute the
     # shingle array and its hashes k times. Instead: ONE fold over the
@@ -128,7 +156,9 @@ def _minhash_sig(shingles: F.Column, k: int, seed: int = 42) -> F.Column:
     b_consts = F.array(
         *[F.lit((seed * 97 + i * 1_234_567_891) % _MH_PRIME) for i in range(k)]
     )
-    xs = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+    xs = F.transform(
+        shingles, lambda s: F.pmod(_hash64(s, hash_mode), F.lit(_MH_PRIME))
+    )
     return F.aggregate(
         xs,
         F.array_repeat(F.lit(_MH_PRIME).cast("long"), k),
@@ -153,10 +183,46 @@ def minhash_signatures(
     k: int = 32,
     n: int = 3,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    return df.select(
-        F.col(key), _minhash_sig(word_shingles(text, n), k, seed).alias("sig")
+    """Per-doc MinHash signature. Docs with no shingles (< n words) are
+    dropped: their signature would be the degenerate all-p init vector,
+    which band-matches every other empty doc."""
+    sh = word_shingles(text, n)
+    return (
+        df.select(F.col(key), sh.alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select(F.col(key), _minhash_sig(F.col("_sh"), k, seed, hash_mode).alias("sig"))
     )
+
+
+def _banded(sigs: DataFrame, key: str, k: int, bands: int, hash_mode: str) -> DataFrame:
+    """Explode a signature DF into (key, band_id, band_hash) bucket rows.
+    band_hash is xxhash64 of the band slice (fast path) or the literal
+    comma-joined slice string (portable mode: injective, DuckDB-replayable
+    — a 64-bit hash could, with negligible but nonzero probability, add a
+    spurious candidate the oracle lacks)."""
+    rows_per_band = k // bands
+
+    def band_key(b: int) -> F.Column:
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        if hash_mode == "portable":
+            return F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+        return F.xxhash64(sl)
+
+    return sigs.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), band_key(b).alias("band_hash")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(key, "band.band_id", "band.band_hash")
 
 
 def minhash_lsh_candidates(
@@ -167,29 +233,14 @@ def minhash_lsh_candidates(
     bands: int = 8,
     n: int = 3,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: split the k-minhash signature into ``bands``
     rows-per-band groups, hash each band, and self-join docs sharing any
     (band_id, band_hash) bucket. The join key is the bucket — no full
     pairwise compare ever happens (the 100 TB path)."""
-    rows_per_band = k // bands
-    sigs = minhash_signatures(df, key, text, k, n, seed)
-    banded = sigs.select(
-        key,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(key, "band.band_id", "band.band_hash")
+    sigs = minhash_signatures(df, key, text, k, n, seed, hash_mode)
+    banded = _banded(sigs, key, k, bands, hash_mode)
     a = banded.select(F.col(key).alias("a"), "band_id", "band_hash")
     b = banded.select(F.col(key).alias("b"), "band_id", "band_hash")
     return (
@@ -200,13 +251,7 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_jaccard_estimate(
-    df: DataFrame, pairs: DataFrame, key: str = "doc_id", text: str = "text",
-    k: int = 32, n: int = 3, seed: int = 42,
-) -> DataFrame:
-    """Estimated Jaccard for candidate pairs = fraction of matching
-    signature positions (verify stage after LSH)."""
-    sigs = minhash_signatures(df, key, text, k, n, seed)
+def _estimate_from_sigs(pairs: DataFrame, sigs: DataFrame, key: str, k: int) -> DataFrame:
     sa = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"))
     return (
@@ -228,7 +273,45 @@ def minhash_jaccard_estimate(
     )
 
 
-def simhash64(text_col: str = "text") -> F.Column:
+def minhash_jaccard_estimate(
+    df: DataFrame, pairs: DataFrame, key: str = "doc_id", text: str = "text",
+    k: int = 32, n: int = 3, seed: int = 42, hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of matching
+    signature positions (verify stage after LSH)."""
+    sigs = minhash_signatures(df, key, text, k, n, seed, hash_mode)
+    return _estimate_from_sigs(pairs, sigs, key, k)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Full MinHash+LSH near-dup chain: signatures -> banded candidates ->
+    per-pair Jaccard estimate, computing (and persisting) the signature DF
+    ONCE — the candidates stage and both sides of the estimate join reuse
+    it instead of re-shingling the corpus (the two heaviest stages in the
+    round-1 bench were exactly this recomputation)."""
+    sigs = minhash_signatures(df, key, text, k, n, seed, hash_mode).persist()
+    banded = _banded(sigs, key, k, bands, hash_mode)
+    a = banded.select(F.col(key).alias("a"), "band_id", "band_hash")
+    b = banded.select(F.col(key).alias("b"), "band_id", "band_hash")
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _estimate_from_sigs(cand, sigs, key, k)
+
+
+def simhash64(text_col: str = "text", hash_mode: str = "xxhash64") -> F.Column:
     """63-bit SimHash over word hashes, fully JVM-side (bit 63 unused to
     stay positive in a signed long): for each bit position, sum +/-1
     weighted by whether xxhash64(word) has that bit; bit set iff the sum
@@ -238,7 +321,9 @@ def simhash64(text_col: str = "text") -> F.Column:
     separate aggregates would re-hash every word 63 times. Instead ONE
     fold keeps a 63-wide counter array updated with zip_with."""
     masks = F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
-    wh = F.transform(F.array_distinct(words(text_col)), lambda t: F.xxhash64(t))
+    wh = F.transform(
+        F.array_distinct(words(text_col)), lambda t: _hash64(t, hash_mode)
+    )
     counters = F.aggregate(
         wh,
         F.array_repeat(F.lit(0), 63),
@@ -260,12 +345,16 @@ def simhash64(text_col: str = "text") -> F.Column:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, key: str = "doc_id", text: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs via 4-block bucketing (pigeonhole: hamming<=3
     over 4 blocks guarantees one exact block match), then verify the
     Hamming distance on candidates only."""
-    sh = df.select(F.col(key), simhash64(text).alias("sh"))
+    sh = df.select(F.col(key), simhash64(text, hash_mode).alias("sh"))
     blocks = sh.select(
         key,
         "sh",
@@ -290,7 +379,10 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("int"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )

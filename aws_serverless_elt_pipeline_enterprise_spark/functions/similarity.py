@@ -60,6 +60,56 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 16384,
+) -> DataFrame:
+    """Exact top-k cosine over FLOOR-QUANTIZED integer components — every
+    arithmetic step (floor of an exact double product, bigint dot/norm
+    sums, one final IEEE divide of exact-int-derived doubles) is
+    bit-identical across engines, so the result is fully oracle-checkable
+    (unlike float-fold cosine, where summation shape changes the last
+    ulp). Plan shape matches brute_force_topk: codegen'd fold ->
+    TakeOrderedAndProject."""
+    import math
+
+    qq = [int(math.floor(float(x) * scale)) for x in query_vec]
+    nb = sum(v * v for v in qq)
+    qlit = F.array(*[F.lit(v).cast("long") for v in qq])
+    cv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    scored = (
+        df.select(F.col(id_col), cv.alias("qv"))
+        .select(
+            id_col,
+            F.aggregate(
+                F.zip_with("qv", qlit, lambda a, b: a * b),
+                zero,
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+            F.aggregate(
+                F.transform("qv", lambda x: x * x), zero, lambda acc, x: acc + x
+            ).alias("na"),
+        )
+        .select(
+            id_col,
+            "dot_q",
+            (
+                F.col("dot_q").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.lit(float(nb))))
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
 def batch_topk_pandas(
     df: DataFrame,
     queries: list[list[float]],

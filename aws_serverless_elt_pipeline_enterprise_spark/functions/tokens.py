@@ -125,7 +125,13 @@ def tokens_dedupe_consecutive(tokens: pd.Series) -> pd.Series:
     return tokens.map(one)
 
 
-def pack_sequences(df, tokens_col: str = "tokens", max_len: int = 2048, key: str = "doc_id"):
+def pack_sequences(
+    df,
+    tokens_col: str = "tokens",
+    max_len: int = 2048,
+    key: str = "doc_id",
+    n_buckets: int = 256,
+):
     """Greedy sequence packing: concatenate documents into fixed-length
     training rows. Distributed strategy: bucket documents by hash, pack
     WITHIN each bucket with applyInPandas (each bucket is one Arrow group,
@@ -162,6 +168,6 @@ def pack_sequences(df, tokens_col: str = "tokens", max_len: int = 2048, key: str
         )
 
     bucketed = df.withColumn(
-        "pack_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(256)).cast("int")
+        "pack_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     )
     return bucketed.groupBy("pack_bucket").applyInPandas(pack, schema=out_schema)

@@ -28,8 +28,10 @@ Two drivers are provided:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -45,7 +47,10 @@ from aws_serverless_elt_pipeline_enterprise_spark.operators.normalize import (
 )
 from aws_serverless_elt_pipeline_enterprise_spark.quality.gates import repair_ntok
 from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import list_batches
-from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import SnapshotTable
+from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+    SnapshotTable,
+    unify_schemas,
+)
 
 ENVELOPE_COLS = ("op", "seq", "batch_id")
 
@@ -60,12 +65,36 @@ class ReplayResult:
 
 def _quarantine_write(bad: DataFrame, quarantine_dir: str, epoch_id: str) -> None:
     """Epoch-idempotent reject sink (the DLQ translation, D2): one dir per
-    epoch, atomically renamed into place, skipped if already present."""
+    epoch, atomically renamed into place, skipped if already present. The
+    staging dir is named so a crash-orphaned one can never match the
+    ``epoch=*`` redrive glob (a partial dir would fail or double-feed the
+    redrive)."""
     path = os.path.join(quarantine_dir, f"epoch={epoch_id}")
     if os.path.exists(path):
         return
-    tmp = path + ".tmp"
+    tmp = os.path.join(quarantine_dir, f".tmp-epoch={epoch_id}")
     bad.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, path)
+
+
+def _write_gate_verdict(
+    table: SnapshotTable, epoch_id: str, failures: list[str], metrics: dict
+) -> None:
+    """Failed-epoch verdict artifact: the engine aborts the commit
+    (stronger than the reference's quarantine-marker + SNS notify,
+    workflow_ge_gate/main.tf:173-211) but ops still need to see WHY an
+    epoch is absent — one JSON verdict per failed epoch under the table
+    root."""
+    vdir = os.path.join(table.root, "verdicts")
+    os.makedirs(vdir, exist_ok=True)
+    path = os.path.join(vdir, f"epoch={epoch_id}.json")
+    tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"epoch_id": epoch_id, "status": "aborted", "failures": failures,
+             "metrics": {k: int(v) for k, v in metrics.items()}},
+            f,
+        )
     os.replace(tmp, path)
 
 
@@ -99,11 +128,13 @@ def apply_epoch(
             return table.merge_reduced(good.limit(0), epoch_id, affected=[])
 
     # DQ gate rides the merge write as an Observation on the pre-repair
-    # rows: zero extra scans, still transactional (checked pre-manifest)
+    # rows: zero extra scans, still transactional (checked pre-manifest).
+    # Null doc_id is NOT re-checked here: split_quarantine already routed
+    # every null-key row to quarantine, so a post-split check could never
+    # fire (dead-check trap) — the invariant is owned by the split.
     obs = Observation(f"dq_{epoch_id}")
     dq_aggs = [
         F.count(F.lit(1)).alias("row_count"),
-        F.count_if(F.col("doc_id").isNull()).alias("nulls_doc_id"),
         F.count_if(
             F.col("op").isin("insert", "update")
             & (F.col("n_tok") != F.size("tokens"))
@@ -115,11 +146,10 @@ def apply_epoch(
     def gate_check() -> None:
         m = obs.get
         failures = []
-        if m["nulls_doc_id"] > 0:
-            failures.append(f"{m['nulls_doc_id']} null doc_id")
         if dq_fail_on_corrupt and m["ntok_mismatch"] > 0:
             failures.append(f"{m['ntok_mismatch']} rows with n_tok != size(tokens)")
         if failures:
+            _write_gate_verdict(table, epoch_id, failures, dict(m))
             raise ValueError(f"DQ gate failed for epoch {epoch_id}: {failures}")
 
     # No pre-reduction: the merge's own groupBy/max_by aggregate performs
@@ -194,14 +224,20 @@ def replay_range(
     table: SnapshotTable,
     start_batch: int = 0,
     end_batch: int | None = None,
+    start_time: str | None = None,
+    end_time: str | None = None,
     **kwargs,
 ) -> ReplayResult:
     """Time/offset-windowed replay (operator T1/T2): re-run only the epochs
-    in [start_batch, end_batch]. The reference copies S3 objects in a
-    LastModified window to re-fire ingest (workflows/replay/app.py:36-96);
-    here a bounded re-read of the log range + idempotent merges gives the
-    same semantics with no copy — already-committed epochs skip, missed
-    ones apply."""
+    in [start_batch, end_batch] and/or whose EVENT-TIME range intersects
+    [start_time, end_time]. The reference copies S3 objects whose
+    LastModified falls in a trailing window to re-fire ingest
+    (workflows/replay/app.py:36-96, default trailing 24h); the analog here
+    selects whole batch dirs by their min/max event_time (one tiny
+    column-pruned agg per candidate batch — parquet footer stats make it a
+    metadata read) and replays them idempotently. Whole-batch granularity
+    mirrors the reference's object granularity AND keeps epoch IDs stable
+    so the exactly-once skip set still applies."""
     result = ReplayResult()
     batches = list_batches(log_dir)
     end = end_batch + 1 if end_batch is not None else len(batches)
@@ -210,7 +246,23 @@ def replay_range(
         if table.has_epoch(epoch_id):
             result.epochs_skipped.append(epoch_id)
             continue
-        lineage = apply_epoch(table, spark.read.parquet(path), epoch_id, **kwargs)
+        events = spark.read.parquet(path)
+        if start_time is not None or end_time is not None:
+            # intersection probe runs inside Spark so both sides parse in
+            # the session timezone; parquet min/max stats make it cheap
+            cond = F.lit(True)
+            if start_time is not None:
+                cond = cond & (
+                    F.col("event_time") >= F.to_timestamp(F.lit(start_time))
+                )
+            if end_time is not None:
+                cond = cond & (
+                    F.col("event_time") <= F.to_timestamp(F.lit(end_time))
+                )
+            if events.filter(cond).limit(1).count() == 0:
+                result.epochs_skipped.append(epoch_id)
+                continue
+        lineage = apply_epoch(table, events, epoch_id, **kwargs)
         if lineage is not None:
             result.epochs_applied.append(epoch_id)
             result.lineage.append(lineage)
@@ -229,13 +281,59 @@ def redrive_quarantine(
     dedicated epoch. Rows still invalid stay quarantined."""
     if not os.path.isdir(quarantine_dir):
         return None
-    df = spark.read.parquet(os.path.join(quarantine_dir, "epoch=*")).drop(
-        "_reject_reason"
+    epoch_dirs = sorted(
+        d
+        for d in os.listdir(quarantine_dir)
+        if d.startswith("epoch=") and os.path.isdir(os.path.join(quarantine_dir, d))
     )
+    if not epoch_dirs:
+        return None
+    df = spark.read.parquet(
+        *[os.path.join(quarantine_dir, d) for d in epoch_dirs]
+    ).drop("_reject_reason")
     if fix is not None:
         df = fix(df)
-    epoch_id = f"redrive-{len(table.committed_epochs())}"
+    # Epoch id derives from the redriven CONTENT (the quarantined epoch
+    # set), not from a table-state counter: re-running the same redrive is
+    # a no-op skip, while a counter-based id could collide with (or
+    # double-apply around) an unrelated interleaved commit.
+    digest = hashlib.sha256("|".join(epoch_dirs).encode()).hexdigest()[:12]
+    epoch_id = f"redrive-{digest}"
     return apply_epoch(table, df, epoch_id, quarantine_dir=None)
+
+
+def _stream_instance(checkpoint_dir: str) -> str:
+    """Stable per-checkpoint-lifetime instance id, stored as a marker file
+    inside the checkpoint dir. Epoch ids embed it, so deleting/repointing
+    the checkpoint (which restarts Spark's batch numbering at 0) yields a
+    FRESH epoch-id namespace instead of colliding with the old 'stream-N'
+    ids — a collision would silently skip micro-batches containing new
+    files. The numeric batch suffix stays last, so the manifest's
+    EpochLedger still compacts each instance to an O(1) watermark."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_instance")
+    if not os.path.exists(marker):
+        tmp = marker + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex[:12])
+        os.replace(tmp, marker)
+    with open(marker) as f:
+        return f.read().strip()
+
+
+def unified_log_schema(spark: SparkSession, log_dir: str):
+    """Widest-common schema across every batch dir currently in the log
+    (driver-side parquet-footer reads only). Spark's parquet reader fills
+    columns missing from older files with NULL and up-casts narrower
+    stored ints to the requested wider type, so one unified read schema
+    covers an additively-evolving log. A production log would cache the
+    per-batch schema fingerprint in its manifest instead of re-reading
+    footers."""
+    paths = list_batches(log_dir)
+    schema = spark.read.parquet(paths[0]).schema
+    for p in paths[1:]:
+        schema = unify_schemas(schema, spark.read.parquet(p).schema)
+    return schema
 
 
 def run_replay_streaming(
@@ -251,8 +349,13 @@ def run_replay_streaming(
     availableNow trigger (process-everything-then-stop), watermarked
     streaming dedup, merge per micro-batch in foreachBatch. Spark's
     checkpoint tracks source offsets; the table's epoch set de-dups the
-    foreachBatch crash-replay window (epoch_id = f"stream-{batch_id}")."""
-    schema = spark.read.parquet(list_batches(log_dir)[0]).schema
+    foreachBatch crash-replay window. Schema evolution: the source reads
+    with the unified (widest) schema across all batch dirs, so a mid-log
+    additive column / int widening flows through (mirrors the batch
+    path's unify_schemas; reference crawler policy UPDATE_IN_DATABASE,
+    glue_catalog/main.tf:77-79)."""
+    schema = unified_log_schema(spark, log_dir)
+    instance = _stream_instance(checkpoint_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "64")
@@ -263,7 +366,7 @@ def run_replay_streaming(
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         good, _ = split_quarantine(batch_df)
         good = repair_ntok(good)
-        table.merge_reduced(good.drop("batch_id"), f"stream-{epoch_id}")
+        table.merge_reduced(good.drop("batch_id"), f"stream-{instance}-{epoch_id}")
 
     q = (
         deduped.writeStream.foreachBatch(_merge)

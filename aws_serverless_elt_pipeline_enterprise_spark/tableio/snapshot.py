@@ -52,6 +52,94 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+class EpochLedger:
+    """Compact EXACT set of committed epoch IDs.
+
+    IDs shaped '<prefix>-<int>' (or a bare int, no leading zeros) are kept
+    per-prefix as a contiguous high-water-mark plus a sparse set of
+    not-yet-contiguous extras; anything else lives in an exact side set.
+    For the monotone common case (stream-0, stream-1, ... / batch replay
+    indices) the manifest representation is O(1) in epoch count — at 10^6
+    epochs the old cumulative list made EVERY manifest carry the full
+    history, an O(n^2) total-bytes write path. Membership stays exact, so
+    the exactly-once guarantee is unchanged.
+    """
+
+    def __init__(self, data: list | dict | None = None):
+        self.watermarks: dict[str, int] = {}
+        self.extras: dict[str, set[int]] = {}
+        self.other: set[str] = set()
+        if isinstance(data, list):  # legacy manifest format: plain list
+            for e in data:
+                self.add(e)
+        elif isinstance(data, dict):
+            self.watermarks = {
+                k: int(v) for k, v in data.get("watermarks", {}).items()
+            }
+            self.extras = {
+                k: set(int(x) for x in v)
+                for k, v in data.get("extras", {}).items()
+                if v
+            }
+            self.other = set(data.get("other", []))
+
+    @staticmethod
+    def _parse(eid: str) -> tuple[str, int] | None:
+        # canonical numeric suffixes only: 'e-07' must NOT collide with
+        # 'e-7', so leading zeros disqualify the compact encoding
+        def canon(s: str) -> bool:
+            return s.isdigit() and (s == "0" or not s.startswith("0"))
+
+        if canon(eid):
+            return "", int(eid)
+        if "-" in eid:
+            pre, suf = eid.rsplit("-", 1)
+            if canon(suf):
+                return pre, int(suf)
+        return None
+
+    def add(self, eid: str) -> None:
+        eid = str(eid)
+        p = self._parse(eid)
+        if p is None:
+            self.other.add(eid)
+            return
+        pre, n = p
+        wm = self.watermarks.get(pre, -1)
+        if n <= wm:
+            return
+        ex = self.extras.setdefault(pre, set())
+        ex.add(n)
+        while wm + 1 in ex:
+            wm += 1
+            ex.discard(wm)
+        self.watermarks[pre] = wm
+        if not ex:
+            self.extras.pop(pre, None)
+
+    def __contains__(self, eid: object) -> bool:
+        eid = str(eid)
+        p = self._parse(eid)
+        if p is None:
+            return eid in self.other
+        pre, n = p
+        return n <= self.watermarks.get(pre, -1) or n in self.extras.get(pre, set())
+
+    def __len__(self) -> int:
+        return (
+            sum(w + 1 for w in self.watermarks.values())
+            + sum(len(s) for s in self.extras.values())
+            + len(self.other)
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "watermarks": dict(self.watermarks),
+            "extras": {k: sorted(v) for k, v in self.extras.items()},
+            "other": sorted(self.other),
+        }
+
+
 _NUMERIC_WIDTH = {
     "tinyint": 0,
     "smallint": 1,
@@ -147,6 +235,18 @@ class SnapshotTable:
         self.mode = mode
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "commits"), exist_ok=True)
+        # An existing table's manifest is the source of truth for the
+        # bucketing function: reopening with a different n_buckets/key_col
+        # would assign keys to the wrong buckets (COW would miss the stored
+        # row for a key -> duplicate live rows; lookup() would scan the
+        # wrong bucket and silently return nothing). Adopt the stored
+        # values over the constructor arguments.
+        m = self.manifest()
+        if m is not None:
+            if "n_buckets" in m:
+                self.n_buckets = int(m["n_buckets"])
+            if "key_col" in m:
+                self.key_col = m["key_col"]
 
     # ---------------------------------------------------------------- meta
 
@@ -168,9 +268,10 @@ class SnapshotTable:
         with open(os.path.join(self.root, "manifests", f"v{version:06d}.json")) as f:
             return json.load(f)
 
-    def committed_epochs(self) -> set[str]:
+    def committed_epochs(self) -> EpochLedger:
+        """The committed-epoch ledger (exact membership; len() = count)."""
         m = self.manifest()
-        return set(m["committed_epochs"]) if m else set()
+        return EpochLedger(m["committed_epochs"]) if m else EpochLedger()
 
     def has_epoch(self, epoch_id: str) -> bool:
         return str(epoch_id) in self.committed_epochs()
@@ -198,10 +299,16 @@ class SnapshotTable:
         paths = [
             os.path.join(self.root, commit_dir, f"{self.BUCKET_COL}={b}") for b in buckets
         ]
+        # Explicit manifest schema, never inference: files written before a
+        # schema evolution carry narrower types / miss columns, and
+        # inference across mixed footers is order-dependent (picks whatever
+        # footer it sampled; a narrow pick then crashes on the wide file).
+        # The parquet reader up-casts stored narrow ints and fills missing
+        # columns with NULL when the read schema is explicit.
         df = (
-            self.spark.read.option("basePath", os.path.join(self.root, commit_dir))
+            self.spark.read.schema(self._data_schema(schema))
+            .option("basePath", os.path.join(self.root, commit_dir))
             .parquet(*paths)
-            .withColumn(self.BUCKET_COL, F.col(self.BUCKET_COL).cast("int"))
         )
         return conform(df, self._data_schema(schema))
 
@@ -272,7 +379,11 @@ class SnapshotTable:
         gdeltas = m.get("global_deltas", [])
         if gdeltas and want:
             needs_resolve = True
-            gdf = self.spark.read.parquet(*[os.path.join(self.root, d) for d in gdeltas])
+            # explicit schema for the same reason as _read_commit_buckets:
+            # deltas written pre-evolution have narrower/missing columns
+            gdf = self.spark.read.schema(self._data_schema(schema)).parquet(
+                *[os.path.join(self.root, d) for d in gdeltas]
+            )
             gdf = conform(gdf, self._data_schema(schema))
             if buckets is not None:
                 gdf = gdf.filter(F.col(self.BUCKET_COL).isin(*sorted(want)))
@@ -379,11 +490,13 @@ class SnapshotTable:
                 "keys_considered": 0,
                 "keys_deleted": 0,
             }
+            ledger = self.committed_epochs()
+            ledger.add(epoch_id)
             self._commit_manifest(
                 lineage["version"],
                 schema if old_schema is None else old_schema,
                 dict(old_m["buckets"]) if old_m else {},
-                sorted(self.committed_epochs() | {epoch_id}),
+                ledger,
                 lineage,
             )
             return lineage
@@ -514,7 +627,8 @@ class SnapshotTable:
             "keys_considered": metrics_row["keys_considered"] if metrics_row else None,
             "keys_deleted": metrics_row["keys_deleted"] if metrics_row else None,
         }
-        committed = sorted(self.committed_epochs() | {epoch_id})
+        committed = self.committed_epochs()
+        committed.add(epoch_id)
         self._commit_manifest(
             version, schema, buckets_map, committed, lineage,
             new_dir=commit_rel, new_dir_kind="base",
@@ -571,7 +685,8 @@ class SnapshotTable:
             "rows_in_batch": metrics_row["keys_considered"] if metrics_row else None,
             "delete_rows": metrics_row["keys_deleted"] if metrics_row else None,
         }
-        committed = sorted(self.committed_epochs() | {epoch_id})
+        committed = self.committed_epochs()
+        committed.add(epoch_id)
         self._commit_manifest(
             version, schema, buckets_map, committed, lineage,
             new_dir=commit_rel, new_dir_kind="delta",
@@ -584,7 +699,7 @@ class SnapshotTable:
         version: int,
         schema: T.StructType,
         buckets_map: dict,
-        committed: list[str],
+        committed: EpochLedger,
         lineage: dict,
         new_dir: str | None = None,
         new_dir_kind: str = "base",
@@ -609,7 +724,11 @@ class SnapshotTable:
             "buckets": buckets_map,
             "global_deltas": global_deltas,
             "dir_kinds": kinds,
-            "committed_epochs": committed,
+            "committed_epochs": (
+                committed.to_json()
+                if isinstance(committed, EpochLedger)
+                else committed
+            ),
             "lineage": lineage,
         }
         mpath = os.path.join(self.root, "manifests", f"v{version:06d}.json")
@@ -660,7 +779,7 @@ class SnapshotTable:
         }
         lineage = {"epoch_id": "__compaction", "version": version, "compaction": True}
         self._commit_manifest(
-            version, schema, buckets_map, sorted(self.committed_epochs()), lineage,
+            version, schema, buckets_map, self.committed_epochs(), lineage,
             new_dir=commit_rel, new_dir_kind="base", global_deltas=[],
         )
         return lineage
