@@ -421,6 +421,28 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pack_bucket", "pack_id")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components (min-label
+    propagation) over the n-gram-Jaccard pair graph — the step that turns
+    pairs into keep/drop decisions in a dedup pipeline. Oracle: recursive
+    transitive closure in DuckDB over the identical pair set."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, threshold=0.5, df_cap=100)
+    return dd.dup_clusters(pairs).orderBy("doc_id")
+
+
+def q_mask_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary term masking (the PII-scrub regexp_replace shape):
+    masked-text fingerprint + per-doc mask count."""
+    d = _t(spark, sf_dir, "documents")
+    masked, n = tx.mask_terms("text")
+    return d.select(
+        "doc_id",
+        F.md5(masked).alias("masked_fp"),
+        n.alias("n_masked"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": q_cdc_final_state,
@@ -454,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "pack_sequences": q_pack_sequences,
+        "dup_clusters": q_dup_clusters,
+        "mask_terms": q_mask_terms,
     }
 
 
@@ -787,6 +811,49 @@ def oracle_sql() -> dict[str, str]:
             FROM sh x JOIN sh y ON x.doc_id < y.doc_id
             WHERE bit_count(xor(x.sh, y.sh)) <= 3
             ORDER BY a, b
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+              FROM documents
+            ), sh_all AS (
+              SELECT DISTINCT doc_id, s FROM toks,
+                UNNEST(list_transform(
+                  range(1, greatest(len(w) - 2, 0) + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                )) AS u(s)
+            ), rare AS (
+              SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100
+            ), sh AS (
+              SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN rare USING (s)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), overlap AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            ), pairs AS (
+              SELECT a, b FROM overlap
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+            ), sym AS (
+              SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+            ), reach AS (
+              SELECT a AS node, b AS other FROM sym
+              UNION
+              SELECT r.node, s.b AS other FROM reach r JOIN sym s ON s.a = r.other
+            )
+            SELECT node AS doc_id, least(node, min(other)) AS cluster
+            FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "mask_terms": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(text, '\b(table|row|scan)\b',
+                                      '<MASK>', 'g')) AS masked_fp,
+                   len(regexp_extract_all(text, '\b(table|row|scan)\b'))
+                       AS n_masked
+            FROM documents ORDER BY doc_id
         """,
         # pack_sequences: intentionally omitted -> rows-only check (the
         # bucket-local greedy packing fold is stateful, not ANSI-SQL).

@@ -311,6 +311,53 @@ def minhash_lsh_pairs(
     return _estimate_from_sigs(cand, sigs, key, k)
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster), with
+    cluster = min doc id in the component (the canonical keeper).
+
+    Min-label propagation: each round joins current labels across the
+    symmetrized edge set and keeps the per-node minimum; converges in
+    O(diameter) rounds (near-dup components are shallow — dup clusters are
+    cliques or near-cliques, so 2-3 rounds in practice). The driver-side
+    convergence probe is a limit(1) count, not a collect. Each round's
+    result is localCheckpoint'ed: iterative joins otherwise grow the
+    logical plan exponentially (the round-8 plan string alone OOMs the
+    driver). At 10^10 edges you would use reliable checkpoints and the
+    alternating large-star/small-star algorithm (Kiveris et al.) — same
+    join-shape per round, fewer rounds."""
+    edges = pairs.select("a", "b")
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = sym.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        new = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
 def simhash64(text_col: str = "text", hash_mode: str = "xxhash64") -> F.Column:
     """63-bit SimHash over word hashes, fully JVM-side (bit 63 unused to
     stay positive in a signed long): for each bit position, sum +/-1

@@ -83,6 +83,19 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def mask_terms(col: str = "text", terms: tuple[str, ...] = ("table", "row", "scan")) -> tuple[F.Column, F.Column]:
+    """Vocabulary term masking (training-data scrubbing shape: the same
+    regexp_replace pipeline masks PII patterns in prod — emails, digit
+    runs). Returns (masked_text, n_masked). Word-boundary alternation is
+    RE2-safe, so DuckDB replays it exactly."""
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    c = F.col(col)
+    return (
+        F.regexp_replace(c, pat, "<MASK>"),
+        F.regexp_count(c, F.lit(pat)),
+    )
+
+
 def content_fingerprint(col: str = "text") -> F.Column:
     """Exact content fingerprint (md5 hex) — the exact-dedup key. md5 is
     engine-portable (same string in Spark, DuckDB, Python hashlib)."""

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "pack_sequences",
     "ngram_jaccard",
+    "dup_clusters",
+    "mask_terms",
 ]
 
 

@@ -303,3 +303,36 @@ def test_gate_failure_writes_verdict_artifact(spark, tmp_path):
     v = json.load(open(vpath))
     assert v["status"] == "aborted" and v["metrics"]["ntok_mismatch"] == 1
     assert not table.has_epoch("ep-0"), "aborted epoch stays uncommitted"
+
+
+# ------------------------------------------- dup clusters + masking
+
+
+def test_dup_clusters_min_label_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 8)], "a bigint, b bigint"
+    )
+    out = {r.doc_id: r.cluster for r in dd.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 8: 4}
+
+
+def test_dup_clusters_chain_needs_iterations(spark):
+    # a path graph forces label propagation across multiple rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a bigint, b bigint"
+    )
+    out = {r.doc_id: r.cluster for r in dd.dup_clusters(pairs).collect()}
+    assert set(out.values()) == {0} and len(out) == 9
+
+
+def test_mask_terms_counts_and_replaces(spark):
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [("table scan row tablecloth",)], "text string"
+    )
+    masked, n = tx.mask_terms("text")
+    r = df.select(masked.alias("m"), n.alias("n")).first()
+    # word boundaries: 'tablecloth' untouched
+    assert r.m == "<MASK> <MASK> <MASK> tablecloth"
+    assert r.n == 3
