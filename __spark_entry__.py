@@ -443,6 +443,27 @@ def q_mask_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency histogram (tokenizer/vocab stats every
+    training pipeline computes): tokenize with the portable 60-bit hash
+    mod vocab, explode, count, top-50. One explode + one partial-agg
+    shuffle + TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.explode(
+        F.transform(
+            tx.words("text"),
+            lambda w: F.pmod(dd.portable_hash60(w), F.lit(50257)),
+        )
+    ).alias("token")
+    return (
+        d.select(tok)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(50)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": q_cdc_final_state,
@@ -478,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dup_clusters": q_dup_clusters,
         "mask_terms": q_mask_terms,
+        "token_histogram": q_token_histogram,
     }
 
 
@@ -854,6 +876,16 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\b(table|row|scan)\b'))
                        AS n_masked
             FROM documents ORDER BY doc_id
+        """,
+        "token_histogram": """
+            WITH tok AS (
+              SELECT CAST(concat('0x', substr(md5(u.w),1,15)) AS BIGINT)
+                       % 50257 AS token
+              FROM documents,
+                   UNNEST(string_split_regex(trim(text), ' +')) AS u(w)
+            )
+            SELECT token, count(*) AS freq FROM tok
+            GROUP BY token ORDER BY freq DESC, token LIMIT 50
         """,
         # pack_sequences: intentionally omitted -> rows-only check (the
         # bucket-local greedy packing fold is stateful, not ANSI-SQL).

@@ -89,29 +89,41 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity >= threshold.
 
-    Plan: shingle-set sizes (one pass) + inverted-index self-join on the
-    shingle (the only big shuffle) + per-pair overlap count + Jaccard from
-    |A|,|B|,|A∩B|. ``df_cap`` is the scale guard: shingles whose document
-    frequency exceeds the cap are dropped from the shingle UNIVERSE (sizes
-    and overlaps both) before the join — a stop-phrase shingle shared by
-    10^6 docs would otherwise emit a 10^12-row join output. Capped
-    semantics are exact and oracle-checkable: Jaccard over the
-    discriminative (rare) shingle sets."""
+    Plan: ONE shuffle groups the inverted index (shingle -> posting list);
+    candidate pairs are expanded MAP-SIDE from each posting list (a JVM
+    nested transform over the sorted list — no self-join, so the
+    (key,shingle) rows are never shuffled twice), then one groupBy(a,b)
+    counts overlaps and Jaccard follows from |A|,|B|,|A∩B|. ``df_cap`` is
+    the scale guard AND the memory bound: shingles whose document
+    frequency exceeds the cap are dropped from the shingle UNIVERSE
+    (sizes and overlaps both), so every posting list held in a group is
+    <= df_cap entries and the per-shingle pair fan-out is <= C(df_cap,2)
+    — a stop-phrase shingle shared by 10^6 docs would otherwise emit a
+    10^12-row expansion. Capped semantics are exact and oracle-checkable:
+    Jaccard over the discriminative (rare) shingle sets."""
     sh = shingle_explode(df, key, text, n)
+    posts = sh.groupBy("shingle").agg(F.collect_list(key).alias("docs"))
     if df_cap is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= df_cap)
-            .select("shingle")
+        posts = posts.filter(F.size("docs") <= df_cap)
+    sizes = (
+        posts.select(F.explode("docs").alias(key))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    docs = F.array_sort("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(key).alias("a"), "shingle")
-    b = sh.select(F.col(key).alias("b"), "shingle")
+    )
     overlap = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
+        posts.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -400,8 +412,12 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs via 4-block bucketing (pigeonhole: hamming<=3
     over 4 blocks guarantees one exact block match), then verify the
-    Hamming distance on candidates only."""
-    sh = df.select(F.col(key), simhash64(text, hash_mode).alias("sh"))
+    Hamming distance on candidates only. The per-doc signature DF is
+    persisted before the self-join: both join sides (and the 4 block
+    branches after projection collapse) would otherwise each recompute
+    the full hash+fold chain — ~10x the work for a DF of one long per
+    doc."""
+    sh = df.select(F.col(key), simhash64(text, hash_mode).alias("sh")).persist()
     blocks = sh.select(
         key,
         "sh",

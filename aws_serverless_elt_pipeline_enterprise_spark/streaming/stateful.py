@@ -1,0 +1,90 @@
+"""Custom stateful streaming operator: per-key LWW via
+applyInPandasWithState.
+
+The built-in ``dropDuplicatesWithinWatermark`` covers exact-duplicate
+suppression (operator W1), but a CDC tail sometimes needs the FULL
+latest-payload-per-key state held in the stream itself — e.g. to serve
+"current state" continuously without a table read-back, or to emit only
+keys whose winner actually changed. That is arbitrary stateful
+processing: ``applyInPandasWithState`` with an event-time timeout so
+idle keys are evicted once the watermark passes their TTL (the same
+bounded-state contract as the reference's 30-day DynamoDB TTL,
+lambdas/ingest/app.py:84-126).
+
+Per-batch work inside the function is pandas-vectorized (groupby.idxmax
+over the Arrow batch) — no per-row Python loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "doc_id string, seq long, op string, n_tok long"
+STATE_SCHEMA = "seq long, op string, n_tok long"
+
+
+def _update_fn(ttl_ms: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last-change + TTL: evict (bounded state)
+            state.remove()
+            return
+        best_seq, best_op, best_ntok = (
+            state.get if state.exists else (-1, None, None)
+        )
+        changed = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            i = pdf["seq"].idxmax()  # vectorized per Arrow batch
+            seq = int(pdf["seq"].loc[i])
+            if seq > best_seq:
+                best_seq = seq
+                best_op = str(pdf["op"].loc[i])
+                nt = pdf["n_tok"].loc[i]
+                best_ntok = None if pd.isna(nt) else int(nt)
+                changed = True
+        if changed:
+            state.update((best_seq, best_op, best_ntok))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+            yield pd.DataFrame(
+                [
+                    {
+                        "doc_id": key[0],
+                        "seq": best_seq,
+                        "op": best_op,
+                        "n_tok": best_ntok,
+                    }
+                ]
+            )
+
+    return update
+
+
+def lww_latest_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    ttl_minutes: int = 60 * 24 * 30,
+) -> DataFrame:
+    """Streaming per-key latest-state: emits (doc_id, seq, op, n_tok) each
+    time a key's winner advances; state per key is one row, evicted after
+    ``ttl_minutes`` of event-time inactivity. Input needs ``event_time``
+    (for the watermark), ``doc_id``, ``seq``, ``op``, ``n_tok``."""
+    with_wm = events.withWatermark("event_time", watermark)
+    return (
+        with_wm.select("doc_id", "seq", "op", "n_tok", "event_time")
+        .groupBy("doc_id")
+        .applyInPandasWithState(
+            _update_fn(ttl_minutes * 60_000),
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

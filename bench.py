@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "dup_clusters",
     "mask_terms",
+    "token_histogram",
 ]
 
 
@@ -96,8 +97,12 @@ def work_root() -> str:
 
 
 def bench_replay(spark, sf: float, cpus: int) -> dict:
+    # 50M x sf events: large enough that per-epoch fixed cost (job
+    # scheduling + manifest IO, ~1s/epoch) doesn't dominate the measured
+    # throughput the way a toy batch would (250k-row epochs measure the
+    # scheduler, not the engine)
     n_events = int(os.environ.get("SPARK_GRAFT_EVENTS", 0)) or max(
-        int(20_000_000 * sf), 20_000
+        int(50_000_000 * sf), 20_000
     )
     spec = ChangelogSpec(
         n_events=n_events,
@@ -117,6 +122,10 @@ def bench_replay(spark, sf: float, cpus: int) -> dict:
     # timed window includes materializing the final state via compaction,
     # so the LWW resolve is paid inside the measurement.
     table = SnapshotTable(spark, tbl_dir, n_buckets=32, mode="mor")
+    # JVM/codegen warmup outside the timed window (first job in a fresh
+    # session pays 3-5 s of classloading + JIT that no steady-state
+    # deployment pays per batch)
+    spark.read.parquet(os.path.join(cache, "batch_00000")).limit(1000).count()
     t0 = time.monotonic()
     run_replay(spark, cache, table)
     table.compact()

@@ -90,3 +90,54 @@ def test_windowed_count_append_mode_emits_closed_windows(spark, tmp_path):
     assert set(got) < set(want), "open tail windows are withheld"
     for k, v in got.items():
         assert v == want[k], f"sealed window {k} must carry its final count"
+
+
+def test_stateful_lww_stream_matches_batch_oracle(spark, tmp_path):
+    """applyInPandasWithState per-key LWW: the last emitted update per key
+    must equal the batch max-seq reduction over valid events."""
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.stateful import (
+        lww_latest_stream,
+    )
+
+    spec = ChangelogSpec(n_events=6_000, n_keys=400, n_batches=4, seed=21)
+    log = str(tmp_path / "log")
+    generate_changelog(spark, log, spec)
+    schema = spark.read.parquet(f"{log}/batch_00000").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(f"{log}/batch_*")
+    )
+    emitted = []
+
+    def sink(df, _bid):
+        emitted.extend(df.collect())
+
+    q = (
+        lww_latest_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per key (updates are emitted in seq-advancing order)
+    got = {}
+    for r in emitted:
+        if r.doc_id not in got or r.seq > got[r.doc_id][0]:
+            got[r.doc_id] = (r.seq, r.op)
+    from pyspark.sql import functions as F
+
+    want = {
+        r.doc_id: (r.seq, r.op)
+        for r in spark.read.parquet(f"{log}/batch_*")
+        .groupBy("doc_id")
+        .agg(F.max("seq").alias("seq"), F.max_by("op", "seq").alias("op"))
+        .collect()
+    }
+    assert got == want
