@@ -105,6 +105,10 @@ def ngram_jaccard_pairs(
     posts = sh.groupBy("shingle").agg(F.collect_list(key).alias("docs"))
     if df_cap is not None:
         posts = posts.filter(F.size("docs") <= df_cap)
+    # NOTE: the sizes branch below recomputes the posting groupBy rather
+    # than persisting `posts` — measured 3x FASTER at sf0.1 (caching the
+    # object-array posting lists costs more in serialization than the
+    # recompute; the duplicated subtree is scan+explode+one shuffle)
     sizes = (
         posts.select(F.explode("docs").alias(key))
         .groupBy(key)

@@ -97,12 +97,13 @@ def work_root() -> str:
 
 
 def bench_replay(spark, sf: float, cpus: int) -> dict:
-    # 50M x sf events: large enough that per-epoch fixed cost (job
+    # 200M x sf events: large enough that per-epoch fixed cost (job
     # scheduling + manifest IO, ~1s/epoch) doesn't dominate the measured
     # throughput the way a toy batch would (250k-row epochs measure the
-    # scheduler, not the engine)
+    # scheduler, not the engine); 20M events at sf0.1 runs the whole
+    # bench in ~3 min on 32 cores
     n_events = int(os.environ.get("SPARK_GRAFT_EVENTS", 0)) or max(
-        int(50_000_000 * sf), 20_000
+        int(200_000_000 * sf), 20_000
     )
     spec = ChangelogSpec(
         n_events=n_events,

@@ -114,3 +114,41 @@ def test_whole_stage_codegen_covers_scan_project(spark, sf_dir):
         assert C.codegen_span_count(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_embedding_topk_is_take_ordered(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["embedding_topk"](spark, sf_dir)
+    assert C.has_operator(df, "TakeOrderedAndProject")
+
+
+def test_token_histogram_partial_agg_and_take_ordered(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["token_histogram"](spark, sf_dir)
+    text = C.explain_str(df)
+    assert "partial_count" in text, "map-side combine before the exchange"
+    assert C.has_operator(df, "TakeOrderedAndProject")
+
+
+def test_ngram_pairs_single_posting_shuffle(spark, sf_dir):
+    """The posting-list formulation shuffles the (key, shingle) rows ONCE
+    (groupBy shingle); pair expansion is map-side. The old self-join shape
+    shuffled the posting expansion twice more."""
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import dedupe as dd
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = dd.ngram_jaccard_pairs(d, threshold=0.5, df_cap=100)
+        # the key property: no shingle-keyed SELF-JOIN — pair expansion is
+        # a map-side Generate after the posting groupBy. (Two posting
+        # groupBys appear because the sizes branch recomputes rather than
+        # caches — measured faster; see ngram_jaccard_pairs.)
+        text = C.explain_str(df, "simple")
+        assert "SortMergeJoin" not in text, text
+        # pair expansion feeds a partial-aggregated groupBy (map-side combine)
+        assert "partial_count" in C.explain_str(df), "map-side combine"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
