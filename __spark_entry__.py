@@ -443,6 +443,20 @@ def q_mask_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: one broadcast pass assigns every vector to its
+    nearest (deterministically sampled) centroid; the query scores only
+    the nprobe=4 nearest centroids' members — the partition-pruned scale
+    path vs the brute-force scan. Quantized-integer cosine keeps the
+    whole chain engine-exact, so the oracle replays assignment, probe,
+    and scoring in SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.ivf_topk(
+        e.filter(F.col("vec_id") != 0), list(qv), k=20, nprobe=4, centroid_mod=47
+    )
+
+
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary frequency histogram (tokenizer/vocab stats every
     training pipeline computes): tokenize with the portable 60-bit hash
@@ -500,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "mask_terms": q_mask_terms,
         "token_histogram": q_token_histogram,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
 
@@ -511,6 +526,17 @@ _FR = "'le','la','de','et','un','est','que','en'"
 
 def _hits(words_expr: str, lst: str) -> str:
     return f"len(list_filter({words_expr}, w -> list_contains([{lst}], w)))"
+
+
+def _qcos(a: str, b: str) -> str:
+    """DuckDB exact cosine between two quantized bigint lists (mirrors
+    similarity.quantized_cosine_cols bit-for-bit)."""
+    return (
+        f"(CAST(list_sum(list_transform(range(1, len({a})+1),"
+        f" i -> {a}[i]*{b}[i])) AS DOUBLE)"
+        f" / (sqrt(CAST(list_sum(list_transform({a}, x -> x*x)) AS DOUBLE))"
+        f" * sqrt(CAST(list_sum(list_transform({b}, x -> x*x)) AS DOUBLE))))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -876,6 +902,36 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\b(table|row|scan)\b'))
                        AS n_masked
             FROM documents ORDER BY doc_id
+        """,
+        "embedding_ivf_topk": f"""
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS q
+              FROM embeddings WHERE vec_id <> 0
+            ), qv AS (
+              SELECT list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS q
+              FROM embeddings WHERE vec_id = 0
+            ), c AS (
+              SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id % 47 = 1
+            ), assign AS (
+              SELECT vec_id, q, cid FROM (
+                SELECT v.vec_id, v.q, c.cid,
+                       row_number() OVER (
+                         PARTITION BY v.vec_id
+                         ORDER BY {_qcos("v.q", "c.cq")} DESC, c.cid
+                       ) AS rn
+                FROM v CROSS JOIN c
+              ) WHERE rn = 1
+            ), probe AS (
+              SELECT cid FROM c CROSS JOIN qv
+              ORDER BY {_qcos("c.cq", "qv.q")} DESC, cid LIMIT 4
+            )
+            SELECT a.vec_id, {_qcos("a.q", "qv.q")} AS score
+            FROM assign a CROSS JOIN qv
+            WHERE a.cid IN (SELECT cid FROM probe)
+            ORDER BY score DESC, a.vec_id LIMIT 20
         """,
         "token_histogram": """
             WITH tok AS (

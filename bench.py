@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "dup_clusters",
     "mask_terms",
     "token_histogram",
+    "embedding_ivf_topk",
 ]
 
 

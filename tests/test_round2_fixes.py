@@ -336,3 +336,24 @@ def test_mask_terms_counts_and_replaces(spark):
     # word boundaries: 'tablecloth' untouched
     assert r.m == "<MASK> <MASK> <MASK> tablecloth"
     assert r.n == 3
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with nprobe=4 over ~N/47 centroids must recover most of the
+    exact top-k (probing a fraction of the table is the point; recall is
+    the price, bounded here)."""
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import (
+        similarity as sim,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    rest = e.filter(F.col("vec_id") != 0)
+    exact = {
+        r.vec_id
+        for r in sim.quantized_cosine_topk(rest, qv, k=10).collect()
+    }
+    approx = {
+        r.vec_id for r in sim.ivf_topk(rest, qv, k=10, nprobe=4).collect()
+    }
+    assert len(exact & approx) >= 5, (exact, approx)
