@@ -41,11 +41,19 @@ def main() -> None:
     ap.add_argument("--streaming", action="store_true",
                     help="Structured Streaming driver (availableNow) instead of the epoch loop")
     ap.add_argument("--final-compact", action="store_true")
+    ap.add_argument("--start-time", default=None,
+                    help="event-time window replay: only batches intersecting "
+                         "[--start-time, --end-time] ('YYYY-MM-DD HH:MM:SS')")
+    ap.add_argument("--end-time", default=None)
+    ap.add_argument("--redrive", action="store_true",
+                    help="re-ingest the quarantine dir (content-addressed epoch, idempotent)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        redrive_quarantine,
+        replay_range,
         run_replay,
         run_replay_streaming,
     )
@@ -63,7 +71,24 @@ def main() -> None:
         spark = builder.getOrCreate()
 
     table = SnapshotTable(spark, args.table, n_buckets=args.n_buckets, mode=args.mode)
-    if args.streaming:
+    if args.redrive:
+        lineage = redrive_quarantine(spark, args.quarantine, table)
+        summary = {"driver": "redrive", "lineage": lineage}
+    elif args.start_time or args.end_time:
+        result = replay_range(
+            spark,
+            args.log_dir,
+            table,
+            start_time=args.start_time,
+            end_time=args.end_time,
+            quarantine_dir=args.quarantine,
+        )
+        summary = {
+            "driver": "replay_range",
+            "epochs_applied": len(result.epochs_applied),
+            "epochs_skipped": len(result.epochs_skipped),
+        }
+    elif args.streaming:
         run_replay_streaming(
             spark, args.log_dir, table, checkpoint_dir=args.checkpoint or args.table + "_ck"
         )
