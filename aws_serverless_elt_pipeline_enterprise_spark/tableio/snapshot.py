@@ -784,6 +784,49 @@ class SnapshotTable:
         )
         return lineage
 
+    def compact_minor(self) -> dict:
+        """Minor compaction (Hudi-style): collapse the pending DELTA CHAIN
+        into one merged delta WITHOUT rewriting the base files — cost is
+        O(deltas), not O(table). Correct because the LWW resolve
+        (max_by over (_seq, tie)) is associative: resolving the deltas
+        among themselves and later resolving against the base gives the
+        same winner as resolving everything at once. Tombstones stay as
+        rows, so the anti-resurrection guard survives. Use this when the
+        chain grows but a full rewrite (``compact``) is too expensive —
+        at 100 TB the base rewrite is a rare scheduled job while minor
+        compaction can run every few epochs."""
+        m = self.manifest()
+        gdeltas = m.get("global_deltas", []) if m else []
+        if m is None or len(gdeltas) < 2:
+            return {"skipped": True}
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        ddf = self.spark.read.schema(self._data_schema(schema)).parquet(
+            *[os.path.join(self.root, d) for d in gdeltas]
+        )
+        ddf = conform(ddf, self._data_schema(schema))
+        merged = self._resolve(ddf, schema)
+        version = self.current_version() + 1
+        commit_rel = os.path.join("commits", f"c_{version:06d}_minor")
+        commit_abs = os.path.join(self.root, commit_rel)
+        merged.write.mode("overwrite").parquet(commit_abs)
+        lineage = {
+            "epoch_id": "__minor_compaction",
+            "version": version,
+            "minor_compaction": True,
+            "deltas_merged": len(gdeltas),
+        }
+        self._commit_manifest(
+            version,
+            schema,
+            {k: list(v) for k, v in m["buckets"].items()},
+            self.committed_epochs(),
+            lineage,
+            new_dir=commit_rel,
+            new_dir_kind="delta",
+            global_deltas=[commit_rel],
+        )
+        return lineage
+
     def maybe_compact(self, max_deltas: int = 16) -> dict | None:
         """Maintenance policy: compact when the unresolved delta chain
         exceeds ``max_deltas`` — bounds MOR read amplification the way

@@ -357,3 +357,58 @@ def test_ivf_topk_recall_vs_exact(spark):
         r.vec_id for r in sim.ivf_topk(rest, qv, k=10, nprobe=4).collect()
     }
     assert len(exact & approx) >= 5, (exact, approx)
+
+
+# ------------------------------------------------ minor compaction
+
+
+def test_minor_compaction_preserves_state_without_base_rewrite(spark, tmp_path):
+    """compact_minor collapses the delta chain into one delta; the
+    resolved state is unchanged (LWW is associative) and base commits are
+    untouched. Tombstones survive so late lower-seq updates still lose."""
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    df = spark.createDataFrame(
+        [("insert", f"d{i}", i + 1, [i], 1) for i in range(30)], EVENT_SCHEMA
+    )
+    table.merge_reduced(df, "ep-0")
+    table.compact()  # establish base files
+    base_dirs = {
+        d for dirs in table.manifest()["buckets"].values() for d in dirs
+    }
+    # several deltas incl. an update chain and a delete
+    table.merge_reduced(
+        spark.createDataFrame(
+            [("update", "d0", 100, [99], 1), ("delete", "d1", 101, None, None)],
+            EVENT_SCHEMA,
+        ),
+        "ep-1",
+    )
+    table.merge_reduced(
+        spark.createDataFrame([("update", "d0", 102, [77], 1)], EVENT_SCHEMA),
+        "ep-2",
+    )
+    table.merge_reduced(
+        spark.createDataFrame([("insert", "zz", 103, [1], 1)], EVENT_SCHEMA),
+        "ep-3",
+    )
+    before = {
+        r.doc_id: r.tokens for r in table.state().collect()
+    }
+    assert len(table.manifest()["global_deltas"]) == 3
+    lineage = table.compact_minor()
+    assert lineage["deltas_merged"] == 3
+    m = table.manifest()
+    assert len(m["global_deltas"]) == 1
+    assert {d for dirs in m["buckets"].values() for d in dirs} == base_dirs
+    after = {r.doc_id: r.tokens for r in table.state().collect()}
+    assert after == before
+    assert after["d0"] == [77] and "d1" not in after and after["zz"] == [1]
+    # a late lower-seq update for the deleted key must still lose
+    table.merge_reduced(
+        spark.createDataFrame([("update", "d1", 50, [5], 1)], EVENT_SCHEMA),
+        "ep-4",
+    )
+    assert "d1" not in {r.doc_id for r in table.state().collect()}
+    # epoch ledger intact across the minor compaction
+    for e in ("ep-0", "ep-1", "ep-2", "ep-3", "ep-4"):
+        assert table.has_epoch(e)
