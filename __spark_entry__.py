@@ -443,6 +443,32 @@ def q_mask_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase enriched with the
+    user's latest click at or before it, ordered by the globally unique
+    event_id (tie-free). Union+window — one key shuffle, no range-join
+    explosion. Oracle: DuckDB's native ASOF JOIN."""
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        on="event_id",
+        value_cols=["event_id", "value"],
+        prefix="click_",
+    ).orderBy("user_id", "event_id")
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: one broadcast pass assigns every vector to its
     nearest (deterministically sampled) centroid; the query scores only
@@ -515,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_terms": q_mask_terms,
         "token_histogram": q_token_histogram,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "asof_attribution": q_asof_attribution,
     }
 
 
@@ -902,6 +929,17 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\b(table|row|scan)\b'))
                        AS n_masked
             FROM documents ORDER BY doc_id
+        """,
+        "asof_attribution": """
+            SELECT p.user_id, p.event_id,
+                   c.event_id AS click_event_id,
+                   c.value    AS click_value
+            FROM (SELECT user_id, event_id FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, event_id, value FROM events
+                            WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.event_id >= c.event_id
+            ORDER BY p.user_id, p.event_id
         """,
         "embedding_ivf_topk": f"""
             WITH v AS (

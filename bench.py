@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "mask_terms",
     "token_histogram",
     "embedding_ivf_topk",
+    "asof_attribution",
 ]
 
 

@@ -412,3 +412,33 @@ def test_minor_compaction_preserves_state_without_base_rewrite(spark, tmp_path):
     # epoch ledger intact across the minor compaction
     for e in ("ep-0", "ep-1", "ep-2", "ep-3", "ep-4"):
         assert table.has_epoch(e)
+
+
+# ------------------------------------------------------- as-of join
+
+
+def test_asof_join_inclusive_ties_and_null_payload(spark):
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.asof import (
+        asof_join,
+    )
+
+    probes = spark.createDataFrame(
+        [("k", 5), ("k", 10), ("k", 2), ("j", 1)], "user_id string, t bigint"
+    )
+    versions = spark.createDataFrame(
+        [("k", 3, 30.0), ("k", 5, None), ("k", 9, 90.0)],
+        "user_id string, t bigint, value double",
+    )
+    out = {
+        (r.user_id, r.t): (r.v_t, r.v_value)
+        for r in asof_join(
+            probes, versions, key="user_id", on="t",
+            value_cols=["t", "value"], prefix="v_",
+        ).collect()
+    }
+    # t=5 probe matches the t=5 version INCLUSIVELY, and its NULL value is
+    # returned as-is (not skipped back to t=3)
+    assert out[("k", 5)] == (5, None)
+    assert out[("k", 10)] == (9, 90.0)
+    assert out[("k", 2)] == (None, None)  # nothing at or before
+    assert out[("j", 1)] == (None, None)  # key never versioned
