@@ -443,6 +443,22 @@ def q_mask_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py): session id per
+    user, new session when >1h passes between events. One key shuffle,
+    one sort reused by both windows."""
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.sessions import (
+        sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        sessionize(ev, key="user_id", ts="ts", order="event_id", gap_seconds=3600)
+        .select("user_id", "event_id", "session_id")
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each purchase enriched with the
     user's latest click at or before it, ordered by the globally unique
@@ -542,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "asof_attribution": q_asof_attribution,
+        "sessionize": q_sessionize,
     }
 
 
@@ -929,6 +946,22 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\b(table|row|scan)\b'))
                        AS n_masked
             FROM documents ORDER BY doc_id
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS pts
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST(sum(CASE WHEN pts IS NULL
+                                   OR date_diff('second', pts, ts) > 3600
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_id
+            FROM o ORDER BY user_id, event_id
         """,
         "asof_attribution": """
             SELECT p.user_id, p.event_id,

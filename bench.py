@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "token_histogram",
     "embedding_ivf_topk",
     "asof_attribution",
+    "sessionize",
 ]
 
 

@@ -442,3 +442,37 @@ def test_asof_join_inclusive_ties_and_null_payload(spark):
     assert out[("k", 10)] == (9, 90.0)
     assert out[("k", 2)] == (None, None)  # nothing at or before
     assert out[("j", 1)] == (None, None)  # key never versioned
+
+
+def test_sessionize_gap_boundaries(spark):
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.sessions import (
+        sessionize,
+    )
+
+    rows = [
+        ("u", 1, "2024-01-01 00:00:00"),
+        ("u", 2, "2024-01-01 00:30:00"),   # 30 min: same session
+        ("u", 3, "2024-01-01 01:30:00"),   # exactly 3600s: same (> is strict)
+        ("u", 4, "2024-01-01 03:00:00"),   # 90 min: new session
+        ("v", 5, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.event_id: r.session_id
+        for r in sessionize(df, gap_seconds=3600).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_sessionize_single_sort_in_plan(spark, sf_dir):
+    """Both windows (lag + running sum) must share one shuffle+sort."""
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.sessions import (
+        sessionize,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.plans import checks as C
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = sessionize(ev).select("user_id", "event_id", "session_id")
+    assert C.exchange_count(df) <= 1, C.explain_str(df, "simple")
