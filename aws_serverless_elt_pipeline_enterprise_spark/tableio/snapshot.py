@@ -195,6 +195,34 @@ def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+def _partition_rows(commit_abs: str, cap: int = 4096) -> dict:
+    """Per-output-partition row counts read from parquet FOOTERS only (no
+    data scan, no extra Spark job) — the north-rule's per-partition
+    lineage surface. For COW commits the keys carry the bucket dir
+    (``_bucket=k/part-...``); for MOR deltas they are the task output
+    files. Above ``cap`` partitions only the summary is kept (a manifest
+    must not grow with file count)."""
+    import pyarrow.parquet as pq
+
+    per: dict[str, int] = {}
+    total = 0
+    n = 0
+    for root, _, files in os.walk(commit_abs):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(root, fn)
+            rows = pq.ParquetFile(path).metadata.num_rows
+            total += rows
+            n += 1
+            if n <= cap:
+                per[os.path.relpath(path, commit_abs)] = rows
+    out: dict = {"n_files": n, "total_rows": total}
+    if n <= cap:
+        out["per_partition"] = per
+    return out
+
+
 class SnapshotTable:
     """Bucketed snapshot table with atomic manifest commits.
 
@@ -626,6 +654,9 @@ class SnapshotTable:
             "written_buckets": sorted(written_buckets),
             "keys_considered": metrics_row["keys_considered"] if metrics_row else None,
             "keys_deleted": metrics_row["keys_deleted"] if metrics_row else None,
+            # JSON string: lineage() rows stay flat enough for
+            # spark.createDataFrame (nested variant maps break inference)
+            "partition_rows": json.dumps(_partition_rows(commit_abs)),
         }
         committed = self.committed_epochs()
         committed.add(epoch_id)
@@ -684,6 +715,7 @@ class SnapshotTable:
             "delta_dir": commit_rel,
             "rows_in_batch": metrics_row["keys_considered"] if metrics_row else None,
             "delete_rows": metrics_row["keys_deleted"] if metrics_row else None,
+            "partition_rows": json.dumps(_partition_rows(commit_abs)),
         }
         committed = self.committed_epochs()
         committed.add(epoch_id)

@@ -476,3 +476,28 @@ def test_sessionize_single_sort_in_plan(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     df = sessionize(ev).select("user_id", "event_id", "session_id")
     assert C.exchange_count(df) <= 1, C.explain_str(df, "simple")
+
+
+def test_lineage_records_per_partition_rows(spark, tmp_path):
+    """North-rule lineage surface: every commit's lineage carries
+    per-output-partition row counts (from parquet footers) that sum to
+    the batch size."""
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    df = spark.createDataFrame(
+        [("insert", f"d{i}", i + 1, [i], 1) for i in range(40)], EVENT_SCHEMA
+    )
+    lin = table.merge_reduced(df, "ep-0")
+    pr = json.loads(lin["partition_rows"])
+    assert pr["total_rows"] == 40
+    assert pr["n_files"] >= 1
+    assert sum(pr["per_partition"].values()) == 40
+    # COW path: keys carry the bucket dir
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), n_buckets=4, mode="cow")
+    lin2 = t2.merge_reduced(df, "ep-0")
+    pr2 = json.loads(lin2["partition_rows"])
+    assert pr2["total_rows"] == 40
+    assert all(k.startswith("_bucket=") for k in pr2["per_partition"])
+    # persisted in the manifest, and flat enough for the metrics DF surface
+    m_pr = json.loads(table.manifest()["lineage"]["partition_rows"])
+    assert m_pr["total_rows"] == 40
+    assert spark.createDataFrame(table.lineage()).count() == 1
