@@ -75,3 +75,41 @@ def test_any_partition_any_order_converges(spark, tmp_path_factory, data, n_epoc
         for r in table.state().select("doc_id", "tokens").collect()
     }
     assert got == oracle_state(events)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.sampled_from(["a", "b", ""]), st.integers(0, 50)).map(
+                lambda t: f"{t[0]}-{t[1]}" if t[0] else str(t[1])
+            ),
+            st.text(
+                alphabet="abcdef-0", min_size=1, max_size=8
+            ),
+        ),
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_epoch_ledger_matches_reference_set(ids):
+    """EpochLedger membership must be EXACTLY a set, for any id shapes —
+    numeric suffixes, leading zeros, bare numbers, junk strings."""
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        EpochLedger,
+    )
+
+    led = EpochLedger()
+    ref = set()
+    for e in ids:
+        led.add(e)
+        ref.add(e)
+    for e in ref:
+        assert e in led
+    assert len(led) == len(ref)
+    # round-trip through the manifest JSON encoding
+    led2 = EpochLedger(led.to_json())
+    for e in ref:
+        assert e in led2
+    # and some non-members
+    for probe in ["zz-999", "17", "a-051", ""]:
+        assert (probe in led2) == (probe in ref)
