@@ -118,6 +118,12 @@ def bench_replay(spark, sf: float, cpus: int) -> dict:
     if not os.path.exists(os.path.join(cache, "batch_00007")):
         shutil.rmtree(cache, ignore_errors=True)
         generate_changelog(spark, cache, spec)
+    # sweep table dirs leaked by crashed/killed earlier runs (tmpfs is a
+    # shared budget; a stale 5 GB table starves later benches)
+    import glob
+
+    for stale in glob.glob(f"{work_root()}/tbl_*"):
+        shutil.rmtree(stale, ignore_errors=True)
     tbl_dir = f"{work_root()}/tbl_{os.getpid()}"
     shutil.rmtree(tbl_dir, ignore_errors=True)
     # n_buckets fixed (not a function of cpus) so runs at different
