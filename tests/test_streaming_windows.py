@@ -141,3 +141,49 @@ def test_stateful_lww_stream_matches_batch_oracle(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Built-in session_window (gap-merged windows) in STREAMING mode with
+    a watermark converges to the batch session_window aggregation over the
+    same log — the W-family's session counterpart to the tumbling test."""
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from pyspark.sql import functions as F
+
+    spec = ChangelogSpec(n_events=5_000, n_keys=200, n_batches=4, seed=31)
+    log = str(tmp_path / "log")
+    generate_changelog(spark, log, spec)
+    schema = spark.read.parquet(f"{log}/batch_00000").schema
+
+    def agg(df):
+        return df.groupBy(
+            F.session_window("event_time", "30 minutes").alias("w"), "doc_id"
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(f"{log}/batch_*")
+        .withWatermark("event_time", "1 hour")
+    )
+    rows = []
+    q = (
+        agg(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(lambda df, _b: (rows.clear(), rows.extend(df.collect())))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.w.start, r.w.end): r.cnt for r in rows
+    }
+    want = {
+        (r.doc_id, r.w.start, r.w.end): r.cnt
+        for r in agg(spark.read.parquet(f"{log}/batch_*")).collect()
+    }
+    assert got == want and len(want) > 0
