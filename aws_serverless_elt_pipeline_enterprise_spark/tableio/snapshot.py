@@ -94,7 +94,10 @@ class EpochLedger:
             return "", int(eid)
         if "-" in eid:
             pre, suf = eid.rsplit("-", 1)
-            if canon(suf):
+            # prefix must be NON-EMPTY: '-0' would otherwise alias the
+            # bare id '0' under ('', 0) — a membership false positive is
+            # a silently skipped epoch (hypothesis-found counterexample)
+            if pre and canon(suf):
                 return pre, int(suf)
         return None
 
