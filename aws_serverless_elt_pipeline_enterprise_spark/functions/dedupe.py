@@ -63,14 +63,21 @@ def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
 
     Docs with fewer than n words yield an empty array. The guard matters:
     sequence(1, 0) in Spark is the DESCENDING [1, 0] (default step -1),
-    which would feed slice(w, 0, n) and throw INVALID_PARAMETER_VALUE."""
-    w = words(text_col)
-    idx = F.when(
-        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
-    )
+    which would feed slice(w, 0, n) and throw INVALID_PARAMETER_VALUE.
+
+    The words array is BOUND as a lambda variable (the transform-over-
+    singleton idiom): an outer expression captured inside a HOF lambda is
+    re-evaluated per element, so referencing split() directly in the
+    slice would re-split the document once per shingle."""
+    def shingles_of(w: F.Column) -> F.Column:
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+        )
+
+    return F.transform(F.array(words(text_col)), shingles_of)[0]
 
 
 def shingle_explode(df: DataFrame, key: str = "doc_id", text: str = "text", n: int = 3) -> DataFrame:
@@ -163,15 +170,9 @@ def _minhash_sig(
     # shingle array and its hashes k times. Instead: ONE fold over the
     # shingle-hash array, keeping a running elementwise minimum of all k
     # permutation hashes (zip_with + least). Everything evaluates once.
-    a_consts = F.array(
-        *[
-            F.lit(((seed * 1_000_003 + i * 2_654_435_761 + 1) % (1 << 20)) | 1)
-            for i in range(k)
-        ]
-    )
-    b_consts = F.array(
-        *[F.lit((seed * 97 + i * 1_234_567_891) % _MH_PRIME) for i in range(k)]
-    )
+    a_list, b_list = _perm_consts(k, seed)
+    a_consts = F.array(*[F.lit(a) for a in a_list])
+    b_consts = F.array(*[F.lit(b) for b in b_list])
     xs = F.transform(
         shingles, lambda s: F.pmod(_hash64(s, hash_mode), F.lit(_MH_PRIME))
     )
@@ -192,6 +193,12 @@ def _minhash_sig(
     )
 
 
+def _perm_consts(k: int, seed: int) -> tuple[list[int], list[int]]:
+    a = [((seed * 1_000_003 + i * 2_654_435_761 + 1) % (1 << 20)) | 1 for i in range(k)]
+    b = [(seed * 97 + i * 1_234_567_891) % _MH_PRIME for i in range(k)]
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     key: str = "doc_id",
@@ -201,14 +208,21 @@ def minhash_signatures(
     seed: int = 42,
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Per-doc MinHash signature. Docs with no shingles (< n words) are
-    dropped: their signature would be the degenerate all-p init vector,
-    which band-matches every other empty doc."""
+    """Per-doc MinHash signature (pure JVM single-fold). Docs with no
+    shingles (< n words) are dropped: their signature would be the
+    degenerate all-p init vector, which band-matches every other empty
+    doc.
+
+    A numpy/Arrow signature evaluator was tried and REMOVED: it computed
+    identical signatures ~15% faster, but a PythonUDF whose output fans
+    into downstream JVM expressions intermittently hit
+    [INTERNAL_ERROR] Cannot evaluate expression (session-order-dependent
+    planner behavior on Spark 4.1) — a flaky correctness gate is worth
+    more than 15% on one stage."""
     sh = word_shingles(text, n)
-    return (
-        df.select(F.col(key), sh.alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .select(F.col(key), _minhash_sig(F.col("_sh"), k, seed, hash_mode).alias("sig"))
+    base = df.select(F.col(key), sh.alias("_sh")).filter(F.size("_sh") > 0)
+    return base.select(
+        F.col(key), _minhash_sig(F.col("_sh"), k, seed, hash_mode).alias("sig")
     )
 
 
