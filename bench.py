@@ -168,15 +168,15 @@ def main() -> None:
         extra_conf=extra,
     )
 
-    # replay stages are fixed-shape (one agg, one write): AQE's per-stage
-    # re-planning is pure driver overhead here. Re-enabled for the queries.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    replay = bench_replay(spark, sf, cpus)
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-
+    # queries run FIRST (clean heap): the 20M-event replay leaves tens of
+    # GB of JVM garbage whose collection inflates the small per-query
+    # timings when it runs before them
     qtimes: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
         qs = entry_mod.queries()
+        # JVM/codegen warmup so the first query isn't charged 3-5 s of
+        # classloading (same rationale as the replay warmup)
+        spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).count()
         for name in BENCH_QUERIES:
             if name not in qs:
                 continue
@@ -185,6 +185,12 @@ def main() -> None:
             # noop sink forces full evaluation incl. projected expressions
             df.write.format("noop").mode("overwrite").save()
             qtimes[name] = round(time.monotonic() - t0, 3)
+
+    # replay stages are fixed-shape (one agg, one write): AQE's per-stage
+    # re-planning is pure driver overhead here.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    replay = bench_replay(spark, sf, cpus)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     out = {
         "metric": "cdc_replay_events_per_sec",
