@@ -443,6 +443,55 @@ def q_mask_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ENGINE ITSELF under the oracle gate: derive a deterministic
+    change log from `events` (error -> delete, else update; seq =
+    event_id; single-token payload), replay it through SnapshotTable in 4
+    interleaved epochs (seq % 4 — the engine is order-independent), and
+    return the final table state. The oracle recomputes the same final
+    state as pure SQL LWW (arg_max by seq, drop keys whose last op is
+    delete) — the north rule's final-state-after-replay criterion checked
+    by the driver, not just by pytest."""
+    import tempfile
+
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        apply_epoch,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        SnapshotTable,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    chg = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(
+            F.col("event_type") != "error",
+            F.array(F.pmod(F.col("event_id"), F.lit(50257)).cast("int")),
+        ).alias("tokens"),
+        F.when(F.col("event_type") != "error", F.lit(1)).alias("n_tok"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc_roundtrip_")
+    table = SnapshotTable(
+        spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
+    )
+    for e in range(4):
+        apply_epoch(table, chg.filter(F.pmod(F.col("seq"), F.lit(4)) == e), f"rt-{e}")
+    table.compact()
+    return (
+        table.state()
+        .select(
+            "doc_id",
+            F.element_at("tokens", 1).alias("tok0"),
+            F.col("n_tok").cast("int").alias("n_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/sessions.py): session id per
     user, new session when >1h passes between events. One key shuffle,
@@ -559,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "asof_attribution": q_asof_attribution,
         "sessionize": q_sessionize,
+        "cdc_replay_roundtrip": q_cdc_replay_roundtrip,
     }
 
 
@@ -946,6 +996,25 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\b(table|row|scan)\b'))
                        AS n_masked
             FROM documents ORDER BY doc_id
+        """,
+        "cdc_replay_roundtrip": """
+            WITH chg AS (
+              SELECT CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     CAST(user_id AS VARCHAR) AS doc_id,
+                     event_id AS seq,
+                     CASE WHEN event_type <> 'error'
+                          THEN event_id % 50257 END AS tok0
+              FROM events
+            ), last AS (
+              SELECT doc_id,
+                     arg_max(op, seq)   AS last_op,
+                     arg_max(tok0, seq) AS tok0
+              FROM chg GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(tok0 AS INTEGER) AS tok0,
+                   CAST(1 AS INTEGER) AS n_tok
+            FROM last WHERE last_op <> 'delete' ORDER BY doc_id
         """,
         "sessionize": """
             WITH o AS (

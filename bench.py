@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",
     "asof_attribution",
     "sessionize",
+    "cdc_replay_roundtrip",
 ]
 
 
