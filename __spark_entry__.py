@@ -452,6 +452,7 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     state as pure SQL LWW (arg_max by seq, drop keys whose last op is
     delete) — the north rule's final-state-after-replay criterion checked
     by the driver, not just by pytest."""
+    import shutil
     import tempfile
 
     from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
@@ -460,6 +461,17 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
         SnapshotTable,
     )
+
+    # the returned DataFrame reads the table lazily, so THIS run's dir
+    # must outlive the call — instead, sweep dirs left by DEAD processes
+    # (same pid-guard pattern as bench.py's table sweep)
+    base = os.path.join(tempfile.gettempdir(), "cdc_roundtrip")
+    os.makedirs(base, exist_ok=True)
+    for stale in os.listdir(base):
+        try:
+            os.kill(int(stale), 0)
+        except (ValueError, ProcessLookupError, PermissionError):
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
 
     ev = _t(spark, sf_dir, "events")
     chg = ev.select(
@@ -474,7 +486,9 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tokens"),
         F.when(F.col("event_type") != "error", F.lit(1)).alias("n_tok"),
     )
-    root = tempfile.mkdtemp(prefix="cdc_roundtrip_")
+    proc_dir = os.path.join(base, str(os.getpid()))
+    os.makedirs(proc_dir, exist_ok=True)
+    root = tempfile.mkdtemp(dir=proc_dir)
     table = SnapshotTable(
         spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
     )

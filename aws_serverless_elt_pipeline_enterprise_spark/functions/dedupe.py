@@ -109,35 +109,51 @@ def ngram_jaccard_pairs(
     10^12-row expansion. Capped semantics are exact and oracle-checkable:
     Jaccard over the discriminative (rare) shingle sets."""
     sh = shingle_explode(df, key, text, n)
-    posts = sh.groupBy("shingle").agg(F.collect_list(key).alias("docs"))
     if df_cap is not None:
+        # posting-list formulation: ONE shuffle groups the inverted
+        # index; pair expansion is map-side and bounded by C(df_cap, 2)
+        # structs per group. The sizes branch recomputes the posting
+        # groupBy rather than persisting `posts` — measured 3x FASTER at
+        # sf0.1 (caching object-array posting lists costs more in
+        # serialization than scan+explode+one shuffle).
+        posts = sh.groupBy("shingle").agg(F.collect_list(key).alias("docs"))
         posts = posts.filter(F.size("docs") <= df_cap)
-    # NOTE: the sizes branch below recomputes the posting groupBy rather
-    # than persisting `posts` — measured 3x FASTER at sf0.1 (caching the
-    # object-array posting lists costs more in serialization than the
-    # recompute; the duplicated subtree is scan+explode+one shuffle)
-    sizes = (
-        posts.select(F.explode("docs").alias(key))
-        .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    docs = F.array_sort("docs")
-    pair_structs = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + 2, F.size(docs)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+        sizes = (
+            posts.select(F.explode("docs").alias(key))
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n_sh"))
         )
-    )
-    overlap = (
-        posts.filter(F.size("docs") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        docs = F.array_sort("docs")
+        pair_structs = F.flatten(
+            F.transform(
+                docs,
+                lambda x, i: F.transform(
+                    F.slice(docs, i + 2, F.size(docs)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        overlap = (
+            posts.filter(F.size("docs") >= 2)
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # UNCAPPED: a mega-posting (stop-phrase shingle in 10^5 docs)
+        # must not be collected into ONE aggregation row — the
+        # distributed self-join spreads the same C(n,2) fan-out across
+        # the shuffle instead of one task's memory.
+        sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
+        a_side = sh.select(F.col(key).alias("a"), "shingle")
+        b_side = sh.select(F.col(key).alias("b"), "shingle")
+        overlap = (
+            a_side.join(b_side, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(key).alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(key).alias("b"), F.col("n_sh").alias("nb"))
     return (

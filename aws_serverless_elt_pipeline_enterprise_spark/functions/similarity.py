@@ -204,7 +204,11 @@ def ivf_topk(
         .limit(nprobe)
         .collect()
     ]
-    cand = assign.filter(F.col("cid").isin(probe))
+    # no id hits the centroid residue class (sparse/filtered id space):
+    # degrade to brute force over all vectors (qd, not assign — assign is
+    # itself empty when there are no centroids) rather than silently
+    # returning an empty result
+    cand = assign.filter(F.col("cid").isin(probe)) if probe else qd
     return (
         cand.withColumn(
             "score", _qdot(F.col("qv"), q).cast("double") / (F.col("nv") * qn)

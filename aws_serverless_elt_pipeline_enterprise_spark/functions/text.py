@@ -86,9 +86,13 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
 def mask_terms(col: str = "text", terms: tuple[str, ...] = ("table", "row", "scan")) -> tuple[F.Column, F.Column]:
     """Vocabulary term masking (training-data scrubbing shape: the same
     regexp_replace pipeline masks PII patterns in prod — emails, digit
-    runs). Returns (masked_text, n_masked). Word-boundary alternation is
-    RE2-safe, so DuckDB replays it exactly."""
-    pat = r"\b(" + "|".join(terms) + r")\b"
+    runs). Returns (masked_text, n_masked). Terms are regex-escaped (PII
+    term lists routinely contain metacharacters — '192.168.0.1' must not
+    match '192x168y0z1', 'c++' must not throw); the escaped word-boundary
+    alternation stays RE2-safe, so DuckDB replays it exactly."""
+    import re as _re
+
+    pat = r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
     c = F.col(col)
     return (
         F.regexp_replace(c, pat, "<MASK>"),

@@ -160,6 +160,12 @@ def apply_epoch(
     lineage = table.merge_reduced(
         repaired.drop("batch_id"), epoch_id, affected=affected, pre_commit=gate_check
     )
+    # a past gate failure's verdict is obsolete once the epoch commits —
+    # a lingering 'aborted' marker for a committed epoch would send ops
+    # chasing a ghost
+    stale_verdict = os.path.join(table.root, "verdicts", f"epoch={epoch_id}.json")
+    if os.path.exists(stale_verdict):
+        os.remove(stale_verdict)
     return lineage
 
 

@@ -85,10 +85,16 @@ class EpochLedger:
 
     @staticmethod
     def _parse(eid: str) -> tuple[str, int] | None:
-        # canonical numeric suffixes only: 'e-07' must NOT collide with
-        # 'e-7', so leading zeros disqualify the compact encoding
+        # canonical ASCII numeric suffixes only: 'e-07' must NOT collide
+        # with 'e-7' (leading zeros), and non-ASCII digits ('x-٤', 'ep-²')
+        # must not alias ASCII ids or crash int() — any alias is a
+        # silently skipped epoch
         def canon(s: str) -> bool:
-            return s.isdigit() and (s == "0" or not s.startswith("0"))
+            return (
+                s.isascii()
+                and s.isdigit()
+                and (s == "0" or not s.startswith("0"))
+            )
 
         if canon(eid):
             return "", int(eid)

@@ -120,11 +120,19 @@ def bench_replay(spark, sf: float, cpus: int) -> dict:
         shutil.rmtree(cache, ignore_errors=True)
         generate_changelog(spark, cache, spec)
     # sweep table dirs leaked by crashed/killed earlier runs (tmpfs is a
-    # shared budget; a stale 5 GB table starves later benches)
+    # shared budget; a stale 5 GB table starves later benches) — but NEVER
+    # a live concurrent bench's dir: the pid in the name must be dead
     import glob
 
     for stale in glob.glob(f"{work_root()}/tbl_*"):
-        shutil.rmtree(stale, ignore_errors=True)
+        try:
+            pid = int(stale.rsplit("_", 1)[1])
+            os.kill(pid, 0)  # raises if the pid is gone
+        except (ValueError, ProcessLookupError, PermissionError):
+            if not stale.endswith(f"_{os.getpid()}"):
+                shutil.rmtree(stale, ignore_errors=True)
+        else:
+            continue  # owner alive: leave it
     tbl_dir = f"{work_root()}/tbl_{os.getpid()}"
     shutil.rmtree(tbl_dir, ignore_errors=True)
     # n_buckets fixed (not a function of cpus) so runs at different
@@ -186,6 +194,11 @@ def main() -> None:
             # noop sink forces full evaluation incl. projected expressions
             df.write.format("noop").mode("overwrite").save()
             qtimes[name] = round(time.monotonic() - t0, 3)
+
+    # drop DataFrames persisted by the query operators (minhash/simhash
+    # signatures, label-prop checkpoints): their cache blocks would
+    # otherwise occupy execution memory + tmpfs during the timed replay
+    spark.catalog.clearCache()
 
     # replay stages are fixed-shape (one agg, one write): AQE's per-stage
     # re-planning is pure driver overhead here.

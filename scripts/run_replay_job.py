@@ -48,6 +48,8 @@ def main() -> None:
     ap.add_argument("--redrive", action="store_true",
                     help="re-ingest the quarantine dir (content-addressed epoch, idempotent)")
     args = ap.parse_args()
+    if args.redrive and not args.quarantine:
+        ap.error("--redrive requires --quarantine")
 
     from pyspark.sql import SparkSession
 

@@ -501,3 +501,58 @@ def test_lineage_records_per_partition_rows(spark, tmp_path):
     m_pr = json.loads(table.manifest()["lineage"]["partition_rows"])
     assert m_pr["total_rows"] == 40
     assert spark.createDataFrame(table.lineage()).count() == 1
+
+
+# -------------------------------------------- review-pass regressions
+
+
+def test_epoch_ledger_rejects_non_ascii_digits():
+    led = EpochLedger()
+    led.add("x-٤")  # Arabic-Indic four: must NOT alias 'x-4'
+    led.add("ep-²")  # superscript two: isdigit() but not int()-able
+    assert "x-4" not in led and "x-٤" in led
+    assert "ep-²" in led and "ep-2" not in led
+
+
+def test_mask_terms_escapes_metacharacters(spark):
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [("reach 192.168.0.1 not 192x168y0z1 and c++ here",)], "text string"
+    )
+    masked, n = tx.mask_terms("text", terms=("192.168.0.1", "c++"))
+    r = df.select(masked.alias("m"), n.alias("n")).first()
+    # the IP matched exactly once; the unescaped '.' would also have
+    # matched 192x168y0z1, and unescaped 'c++' would have thrown
+    assert r.n == 1
+    assert "192x168y0z1" in r.m, "dot must not match arbitrary chars"
+    assert "<MASK>" in r.m
+    # ('c++' itself is unmatched: \b cannot sit between '+' and space —
+    # word-boundary semantics, inherent to the \b formulation)
+
+
+def test_ivf_topk_falls_back_when_no_centroids(spark):
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import (
+        similarity as sim,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    rest = e.filter(F.col("vec_id") != 0)
+    # centroid_mod larger than any vec_id residue match -> no centroids
+    out = sim.ivf_topk(rest, qv, k=5, nprobe=4, centroid_mod=10**9)
+    assert out.count() == 5, "must degrade to brute force, not empty"
+
+
+def test_gate_verdict_removed_after_successful_retry(spark, tmp_path):
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    bad = spark.createDataFrame([("insert", "a", 1, [1, 2], 99)], EVENT_SCHEMA)
+    with pytest.raises(ValueError):
+        apply_epoch(table, bad, "ep-0", dq_fail_on_corrupt=True)
+    vpath = os.path.join(str(tmp_path / "t"), "verdicts", "epoch=ep-0.json")
+    assert os.path.exists(vpath)
+    # upstream fixed: same epoch retried and committed -> verdict cleared
+    good = spark.createDataFrame([("insert", "a", 1, [1, 2], 2)], EVENT_SCHEMA)
+    apply_epoch(table, good, "ep-0", dq_fail_on_corrupt=True)
+    assert table.has_epoch("ep-0")
+    assert not os.path.exists(vpath), "stale 'aborted' verdict must clear"
