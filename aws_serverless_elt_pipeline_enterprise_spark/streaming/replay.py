@@ -38,10 +38,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from aws_serverless_elt_pipeline_enterprise_spark.operators.dedup import (
-    dedup_events,
     dedup_events_stream,
 )
-from aws_serverless_elt_pipeline_enterprise_spark.operators.lww import lww_reduce
 from aws_serverless_elt_pipeline_enterprise_spark.operators.normalize import (
     split_quarantine,
 )
@@ -103,8 +101,6 @@ def apply_epoch(
     events: DataFrame,
     epoch_id: str,
     quarantine_dir: str | None = None,
-    salted: bool = True,
-    n_salts: int = 16,
     dq_fail_on_corrupt: bool = False,
 ) -> dict | None:
     """One epoch through the full pipeline. Returns lineage or None if the
@@ -175,20 +171,25 @@ def run_replay(
     table: SnapshotTable,
     checkpoint_dir: str | None = None,
     quarantine_dir: str | None = None,
-    salted: bool = True,
-    n_salts: int = 16,
     max_epochs: int | None = None,
     compact_every: int | None = None,
 ) -> ReplayResult:
     """Batch replay over epoch dirs (ordered). Resumable from any point:
     the committed-epoch set in the table manifest is the checkpoint; the
-    optional checkpoint file only short-circuits directory listing."""
+    optional checkpoint file only short-circuits directory listing. The
+    checkpoint stores an EpochLedger encoding — a cumulative sorted list
+    rewritten per epoch would be the same O(n^2) total-bytes pattern the
+    manifest ledger eliminated."""
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        EpochLedger,
+    )
+
     result = ReplayResult()
-    done: set[str] = set()
+    done = EpochLedger()
     ckpt_file = os.path.join(checkpoint_dir, "epochs.json") if checkpoint_dir else None
     if ckpt_file and os.path.exists(ckpt_file):
         with open(ckpt_file) as f:
-            done = set(json.load(f))
+            done = EpochLedger(json.load(f))  # accepts ledger dict or legacy list
 
     batches = list_batches(log_dir)
     if max_epochs is not None:
@@ -199,14 +200,7 @@ def run_replay(
             result.epochs_skipped.append(epoch_id)
             continue
         events = spark.read.parquet(path)
-        lineage = apply_epoch(
-            table,
-            events,
-            epoch_id,
-            quarantine_dir=quarantine_dir,
-            salted=salted,
-            n_salts=n_salts,
-        )
+        lineage = apply_epoch(table, events, epoch_id, quarantine_dir=quarantine_dir)
         if lineage is not None:
             result.epochs_applied.append(epoch_id)
             result.lineage.append(lineage)
@@ -219,7 +213,7 @@ def run_replay(
             os.makedirs(checkpoint_dir, exist_ok=True)
             tmp = ckpt_file + ".tmp"
             with open(tmp, "w") as f:
-                json.dump(sorted(done), f)
+                json.dump(done.to_json(), f)
             os.replace(tmp, ckpt_file)
     return result
 
@@ -299,11 +293,19 @@ def redrive_quarantine(
     ).drop("_reject_reason")
     if fix is not None:
         df = fix(df)
-    # Epoch id derives from the redriven CONTENT (the quarantined epoch
-    # set), not from a table-state counter: re-running the same redrive is
-    # a no-op skip, while a counter-based id could collide with (or
-    # double-apply around) an unrelated interleaved commit.
-    digest = hashlib.sha256("|".join(epoch_dirs).encode()).hexdigest()[:12]
+    # Epoch id derives from the POST-FIX content (order-independent hash
+    # of the envelope identities), not from the dir names or a table-state
+    # counter: re-running the identical redrive is a no-op skip, while a
+    # CORRECTED fix produces different rows -> different id -> applies.
+    # (Dir-name hashing permanently blocked a corrected retry after a
+    # buggy fix had committed its digest.)
+    row = df.agg(
+        # decimal(38,0) sum: ANSI mode errors on long overflow, and a sum
+        # of 64-bit hashes overflows immediately
+        F.sum(F.xxhash64("op", "doc_id", "seq").cast("decimal(38,0)")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    digest = hashlib.sha256(f"{row['h']}|{row['n']}".encode()).hexdigest()[:12]
     epoch_id = f"redrive-{digest}"
     return apply_epoch(table, df, epoch_id, quarantine_dir=None)
 
@@ -336,6 +338,8 @@ def unified_log_schema(spark: SparkSession, log_dir: str):
     per-batch schema fingerprint in its manifest instead of re-reading
     footers."""
     paths = list_batches(log_dir)
+    if not paths:
+        return None  # empty log: caller no-ops (matches run_replay)
     schema = spark.read.parquet(paths[0]).schema
     for p in paths[1:]:
         schema = unify_schemas(schema, spark.read.parquet(p).schema)
@@ -348,8 +352,7 @@ def run_replay_streaming(
     table: SnapshotTable,
     checkpoint_dir: str,
     watermark_ttl: str = "30 days",
-    salted: bool = True,
-    n_salts: int = 16,
+    quarantine_dir: str | None = None,
 ) -> None:
     """Structured Streaming replay: file source over the whole log dir,
     availableNow trigger (process-everything-then-stop), watermarked
@@ -361,6 +364,8 @@ def run_replay_streaming(
     path's unify_schemas; reference crawler policy UPDATE_IN_DATABASE,
     glue_catalog/main.tf:77-79)."""
     schema = unified_log_schema(spark, log_dir)
+    if schema is None:
+        return  # nothing to replay yet
     instance = _stream_instance(checkpoint_dir)
     stream = (
         spark.readStream.schema(schema)
@@ -370,9 +375,14 @@ def run_replay_streaming(
     deduped = dedup_events_stream(stream, ttl=watermark_ttl)
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        good, _ = split_quarantine(batch_df)
+        eid = f"stream-{instance}-{epoch_id}"
+        good, bad = split_quarantine(batch_df)
+        if quarantine_dir is not None:
+            # same DLQ as the batch path — the streaming driver must not
+            # silently drop malformed envelopes
+            _quarantine_write(bad, quarantine_dir, eid)
         good = repair_ntok(good)
-        table.merge_reduced(good.drop("batch_id"), f"stream-{instance}-{epoch_id}")
+        table.merge_reduced(good.drop("batch_id"), eid)
 
     q = (
         deduped.writeStream.foreachBatch(_merge)

@@ -298,12 +298,27 @@ class SnapshotTable:
             return None
 
     def manifest(self, version: int | None = None) -> dict | None:
+        """Parsed manifest; the LATEST one is cached keyed on version.
+        One epoch otherwise re-parses the same JSON ~7 times (has_epoch,
+        schema, read, committed_epochs, commit) — at 4096 buckets with
+        lineage that is megabytes of driver-side json.load per epoch.
+        Manifest files are immutable, so version-keyed caching is safe;
+        only the single latest entry is retained (no growth with age)."""
+        resolved_latest = version is None
         if version is None:
             version = self.current_version()
         if version is None:
             return None
+        cached = getattr(self, "_manifest_cache", None)
+        if cached is not None and cached[0] == version:
+            # callers treat manifests as read-only (they copy the dicts
+            # they mutate), so sharing the parsed object is safe
+            return cached[1]
         with open(os.path.join(self.root, "manifests", f"v{version:06d}.json")) as f:
-            return json.load(f)
+            m = json.load(f)
+        if resolved_latest:
+            self._manifest_cache = (version, m)
+        return m
 
     def committed_epochs(self) -> EpochLedger:
         """The committed-epoch ledger (exact membership; len() = count)."""
@@ -447,10 +462,22 @@ class SnapshotTable:
         requested keys are scanned (plus any pending global deltas). At
         10^10 rows / 4096 buckets this reads ~1/4096th of the table per
         distinct bucket instead of scanning it."""
+        # hash the keys AS THE TABLE'S KEY TYPE: xxhash64('42') !=
+        # xxhash64(42L), so a string-typed probe against a bigint key_col
+        # would prune to the wrong buckets and silently return nothing
+        sch = self.schema()
+        ktype: T.DataType = T.StringType()
+        if sch is not None:
+            for f in sch.fields:
+                if f.name == self.key_col:
+                    ktype = f.dataType
         key_rows = self.spark.createDataFrame(
-            [(k,) for k in keys], T.StructType([T.StructField("k", T.StringType())])
+            [(str(k),) for k in keys],
+            T.StructType([T.StructField("k", T.StringType())]),
         ).select(
-            F.pmod(F.xxhash64(F.col("k")), F.lit(self.n_buckets)).cast("int").alias("b")
+            F.pmod(F.xxhash64(F.col("k").cast(ktype)), F.lit(self.n_buckets))
+            .cast("int")
+            .alias("b")
         )
         buckets = sorted({r.b for r in key_rows.distinct().collect()})
         df = self.read(version=version, buckets=buckets)
@@ -585,10 +612,14 @@ class SnapshotTable:
         # every key to one row per task BEFORE the exchange — which is also
         # why hot doc_ids don't skew this stage (no salting needed here;
         # salting remains for sort/window/join-shaped paths). Ties:
-        # (seq, side, payload-hash) is a total order -> deterministic,
+        # (seq, side, op+payload-hash) is a total order -> deterministic,
         # replay-stable winners even for pathological equal-seq events.
+        # __op MUST be in the hash (mirroring _resolve's DEL_COL): an
+        # equal-seq delete vs update with identical payload hash would
+        # otherwise pick a partition-order-dependent winner.
         tie_hash = F.xxhash64(
-            *[F.col(f.name) for f in schema.fields if f.name != self.key_col]
+            *[F.col(f.name) for f in schema.fields if f.name != self.key_col],
+            F.col("__op"),
         )
         winner = (
             both.groupBy(self.key_col)
@@ -644,16 +675,13 @@ class SnapshotTable:
             if d.startswith(f"{self.BUCKET_COL}="):
                 written_buckets.add(int(d.split("=", 1)[1]))
 
+        # only COW reaches this point (MOR returned via _merge_mor_append)
         old_m = self.manifest()
         buckets_map = {k: list(v) for k, v in old_m["buckets"].items()} if old_m else {}
-        if self.mode == "cow":
-            for b in affected:
-                buckets_map.pop(str(b), None)
-            for b in written_buckets:
-                buckets_map[str(b)] = [commit_rel]
-        else:
-            for b in written_buckets:
-                buckets_map.setdefault(str(b), []).append(commit_rel)
+        for b in affected:
+            buckets_map.pop(str(b), None)
+        for b in written_buckets:
+            buckets_map[str(b)] = [commit_rel]
 
         lineage = {
             "epoch_id": epoch_id,
@@ -868,15 +896,18 @@ class SnapshotTable:
         )
         return lineage
 
-    def maybe_compact(self, max_deltas: int = 16) -> dict | None:
+    def maybe_compact(self, max_deltas: int = 16, minor: bool = True) -> dict | None:
         """Maintenance policy: compact when the unresolved delta chain
         exceeds ``max_deltas`` — bounds MOR read amplification the way
         Hudi's compaction scheduling / Iceberg's rewrite policies do. Call
-        it from the replay loop; it is a no-op otherwise."""
+        it from the replay loop; it is a no-op otherwise. Defaults to
+        MINOR compaction (collapse the delta chain, O(deltas)) — the full
+        O(table) base rewrite is a rare scheduled job (``compact()``),
+        not an every-few-epochs policy."""
         m = self.manifest()
         if m is None or len(m.get("global_deltas", [])) < max_deltas:
             return None
-        return self.compact()
+        return self.compact_minor() if minor else self.compact()
 
     def expire_orphans(self) -> list[str]:
         """Remove commit dirs unreferenced by the latest manifest (vacuum).
