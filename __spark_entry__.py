@@ -470,8 +470,10 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for stale in os.listdir(base):
         try:
             os.kill(int(stale), 0)
-        except (ValueError, ProcessLookupError, PermissionError):
+        except (ValueError, ProcessLookupError):
             shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+        except PermissionError:
+            pass  # pid ALIVE under another uid — its table dir must survive
 
     ev = _t(spark, sf_dir, "events")
     chg = ev.select(

@@ -110,14 +110,30 @@ def ngram_jaccard_pairs(
     Jaccard over the discriminative (rare) shingle sets."""
     sh = shingle_explode(df, key, text, n)
     if df_cap is not None:
-        # posting-list formulation: ONE shuffle groups the inverted
-        # index; pair expansion is map-side and bounded by C(df_cap, 2)
-        # structs per group. The sizes branch recomputes the posting
-        # groupBy rather than persisting `posts` — measured 3x FASTER at
-        # sf0.1 (caching object-array posting lists costs more in
-        # serialization than scan+explode+one shuffle).
-        posts = sh.groupBy("shingle").agg(F.collect_list(key).alias("docs"))
-        posts = posts.filter(F.size("docs") <= df_cap)
+        # posting-list formulation: the inverted index groups on the
+        # shingle; pair expansion is map-side and bounded by C(df_cap, 2)
+        # structs per group. The document-frequency cap is applied BEFORE
+        # collect_list via a count + semi-join, so a mega-posting (a
+        # stop-phrase shingle in 10^6 docs) never materializes in one
+        # task's aggregation buffer — a post-hoc size filter would bound
+        # the OUTPUT but not the buffer. Both the count agg and the
+        # collect_list agg hash-partition on the shingle, so the second
+        # groupBy reuses the first exchange (ReusedExchange / AQE). The
+        # sizes branch recomputes the posting groupBy rather than
+        # persisting `posts` — measured 3x FASTER at sf0.1 (caching
+        # object-array posting lists costs more in serialization than
+        # scan+explode+one shuffle).
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("shingle")
+        )
+        posts = (
+            sh.join(rare, "shingle", "leftsemi")
+            .groupBy("shingle")
+            .agg(F.collect_list(key).alias("docs"))
+        )
         sizes = (
             posts.select(F.explode("docs").alias(key))
             .groupBy(key)
@@ -381,6 +397,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         prop = sym.join(
             labels.withColumnRenamed("node", "b"), "b"
@@ -400,7 +417,20 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a component with diameter > max_iter would otherwise silently
+        # return labels that diverge from the transitive closure
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters: label propagation did not converge within "
+            f"{max_iter} rounds (component diameter exceeds max_iter); "
+            f"labels are a refinement, not the transitive closure",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 

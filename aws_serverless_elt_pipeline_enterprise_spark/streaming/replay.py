@@ -294,15 +294,19 @@ def redrive_quarantine(
     if fix is not None:
         df = fix(df)
     # Epoch id derives from the POST-FIX content (order-independent hash
-    # of the envelope identities), not from the dir names or a table-state
-    # counter: re-running the identical redrive is a no-op skip, while a
-    # CORRECTED fix produces different rows -> different id -> applies.
-    # (Dir-name hashing permanently blocked a corrected retry after a
-    # buggy fix had committed its digest.)
+    # of EVERY column, payload included), not from the dir names or a
+    # table-state counter: re-running the identical redrive is a no-op
+    # skip, while a CORRECTED fix produces different rows -> different id
+    # -> applies. Hashing only the (op, doc_id, seq) envelope was a trap:
+    # a second fix that repairs just tokens/n_tok — exactly the
+    # empty_payload quarantine class — kept the same digest as the buggy
+    # first fix and was silently skipped.
     row = df.agg(
         # decimal(38,0) sum: ANSI mode errors on long overflow, and a sum
         # of 64-bit hashes overflows immediately
-        F.sum(F.xxhash64("op", "doc_id", "seq").cast("decimal(38,0)")).alias("h"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+        ).alias("h"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     digest = hashlib.sha256(f"{row['h']}|{row['n']}".encode()).hexdigest()[:12]

@@ -42,7 +42,20 @@ def _update_fn(ttl_ms: int):
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            i = pdf["seq"].idxmax()  # vectorized per Arrow batch
+            # Equal-seq ties broken by the (op, n_tok) payload order, NOT
+            # by idxmax's first-occurrence-in-Arrow-batch-order (which is
+            # partition-order-dependent: replaying the same stream could
+            # emit different winners for pathological equal-seq events).
+            # Mirrors the table merge's deterministic total order on
+            # (seq, payload tie-break); the exact tie KEY differs (the
+            # merge hashes with xxhash64, unavailable here) but both
+            # paths are individually replay-stable.
+            cand = pdf[pdf["seq"] == pdf["seq"].max()]
+            if len(cand) > 1:  # vectorized: sort only the tied rows
+                cand = cand.sort_values(
+                    ["op", "n_tok"], ascending=False, na_position="first"
+                )
+            i = cand.index[0]
             seq = int(pdf["seq"].loc[i])
             if seq > best_seq:
                 best_seq = seq

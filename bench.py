@@ -128,9 +128,13 @@ def bench_replay(spark, sf: float, cpus: int) -> dict:
         try:
             pid = int(stale.rsplit("_", 1)[1])
             os.kill(pid, 0)  # raises if the pid is gone
-        except (ValueError, ProcessLookupError, PermissionError):
+        except (ValueError, ProcessLookupError):
             if not stale.endswith(f"_{os.getpid()}"):
                 shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            # the pid EXISTS (owned by another user) — sweeping would
+            # delete a live concurrent run's table
+            continue
         else:
             continue  # owner alive: leave it
     tbl_dir = f"{work_root()}/tbl_{os.getpid()}"

@@ -1,0 +1,146 @@
+"""Round-3 fixes: redrive digest covers payload content, dup_clusters
+non-convergence warning, df_cap pre-aggregation bound, stateful LWW
+deterministic tie-break."""
+
+from __future__ import annotations
+
+import warnings
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_serverless_elt_pipeline_enterprise_spark.functions import dedupe as dd
+from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+    redrive_quarantine,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import SnapshotTable
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+    ]
+)
+
+
+def test_redrive_corrected_payload_fix_gets_new_epoch(spark, tmp_path):
+    """A second fix that repairs ONLY the payload (tokens/n_tok — the
+    empty_payload quarantine class) must produce a DIFFERENT epoch id than
+    the first, buggy fix, so the corrected redrive actually applies."""
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    bad = spark.createDataFrame(
+        [("frobnicate", "k1", 5, None, None)], EVENT_SCHEMA
+    ).withColumn("_reject_reason", F.lit("unknown_op"))
+    bad.write.parquet(str(qdir / "epoch=b0"))
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+
+    def buggy_fix(df):  # repairs the op but leaves the payload empty
+        return df.withColumn("op", F.lit("insert"))
+
+    def corrected_fix(df):  # same envelope, repaired payload
+        return (
+            df.withColumn("op", F.lit("insert"))
+            .withColumn("tokens", F.array(F.lit(7)))
+            .withColumn("n_tok", F.lit(1))
+        )
+
+    r1 = redrive_quarantine(spark, str(qdir), table, fix=buggy_fix)
+    assert r1 is not None and not r1.get("skipped")
+    r2 = redrive_quarantine(spark, str(qdir), table, fix=corrected_fix)
+    assert r2 is not None and not r2.get("skipped"), (
+        "payload-only correction must yield a new epoch id (envelope-only "
+        "digests alias it to the buggy fix and skip it)"
+    )
+    assert r2["epoch_id"] != r1["epoch_id"]
+    # the corrected row won (same seq, batch side wins on replay tie)
+    row = table.state().filter(F.col("doc_id") == "k1").first()
+    assert row["tokens"] == [7] and row["n_tok"] == 1
+
+
+def test_dup_clusters_warns_on_max_iter_exhaustion(spark):
+    # a path graph of diameter 3 cannot converge in one round
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["a", "b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dd.dup_clusters(pairs, max_iter=1)
+    assert any(
+        "did not converge" in str(w.message) for w in caught
+    ), "non-convergence must be signalled, not silently returned"
+    # and with enough rounds the same graph converges silently
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = dd.dup_clusters(pairs, max_iter=10).collect()
+    assert not [w for w in caught if "did not converge" in str(w.message)]
+    assert {(r.doc_id, r.cluster) for r in out} == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")
+    }
+
+
+def test_df_cap_bounds_aggregation_input(spark):
+    """The df-cap semi-join must drop hot shingles BEFORE collect_list:
+    no posting list larger than df_cap may reach the aggregate. Checked
+    semantically (identical pairs to the post-hoc-filter formulation) and
+    structurally (the plan contains a LeftSemi join)."""
+    rows = [(f"d{i}", "common phrase here plus unique " + ("x%d " % i) * 5)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dd.ngram_jaccard_pairs(df, threshold=0.1, df_cap=5)
+    plan = pairs._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan, "df_cap must pre-filter via semi-join"
+    # the hot shingle ('common phrase here' in 20 docs > cap 5) contributes
+    # nothing; unique fillers share nothing -> zero pairs
+    assert pairs.count() == 0
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def setTimeoutTimestamp(self, ts):
+        self.ts = ts
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+    def remove(self):
+        self.exists = False
+
+
+def test_stateful_lww_equal_seq_tiebreak_is_order_independent():
+    """Equal-seq conflicting events must pick the same winner regardless
+    of Arrow batch row order (idxmax first-occurrence was order-dependent)."""
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.stateful import (
+        _update_fn,
+    )
+
+    rows = [
+        {"doc_id": "k", "seq": 9, "op": "update", "n_tok": 1},
+        {"doc_id": "k", "seq": 9, "op": "delete", "n_tok": None},
+        {"doc_id": "k", "seq": 9, "op": "insert", "n_tok": 3},
+    ]
+    winners = []
+    for perm in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+        pdf = pd.DataFrame([rows[i] for i in perm]).reset_index(drop=True)
+        state = _FakeState()
+        out = list(_update_fn(1000)(("k",), iter([pdf]), state))
+        assert len(out) == 1
+        winners.append(tuple(out[0].iloc[0][["seq", "op"]]))
+    assert len(set(winners)) == 1, f"order-dependent winners: {winners}"
