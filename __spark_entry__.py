@@ -552,15 +552,17 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: one broadcast pass assigns every vector to its
-    nearest (deterministically sampled) centroid; the query scores only
-    the nprobe=4 nearest centroids' members — the partition-pruned scale
-    path vs the brute-force scan. Quantized-integer cosine keeps the
+    nearest (deterministically sampled) centroid via a partial-aggregable
+    max_by (map-side combine, no window sort of the NxC product); the
+    query scores only the nprobe=4 nearest centroids' members — the
+    partition-pruned scale path vs the brute-force scan. n_centroids=32
+    is FIXED (C does not grow with N). Quantized-integer cosine keeps the
     whole chain engine-exact, so the oracle replays assignment, probe,
     and scoring in SQL."""
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return sim.ivf_topk(
-        e.filter(F.col("vec_id") != 0), list(qv), k=20, nprobe=4, centroid_mod=47
+        e.filter(F.col("vec_id") != 0), list(qv), k=20, nprobe=4, n_centroids=32
     )
 
 
@@ -1069,8 +1071,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT list_transform(embedding,
                        x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS q
               FROM embeddings WHERE vec_id = 0
+            ), md AS (
+              -- mirrors ivf_topk's derived residue: C fixed at ~32,
+              -- mod = max(1, N // n_centroids)
+              SELECT greatest(1, count(*) // 32) AS m FROM v
             ), c AS (
-              SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id % 47 = 1
+              SELECT vec_id AS cid, q AS cq FROM v, md WHERE vec_id % md.m = 1
             ), assign AS (
               SELECT vec_id, q, cid FROM (
                 SELECT v.vec_id, v.q, c.cid,

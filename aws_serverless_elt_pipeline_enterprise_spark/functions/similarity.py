@@ -146,7 +146,8 @@ def ivf_topk(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 4,
-    centroid_mod: int = 47,
+    n_centroids: int = 32,
+    centroid_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 16384,
@@ -158,12 +159,17 @@ def ivf_topk(
     is a partition-pruned read of nprobe/n_centroids of the table instead
     of a full scan (brute_force_topk) — the IVF scale path.
 
-    Centroid selection here is deterministic sampling (``id % mod == 1``,
-    ~N/mod centroids); swap in k-means training in prod — the assign and
-    probe stages are identical. All scoring is floor-quantized integer
-    cosine, so results are engine-exact and oracle-checkable."""
-    from pyspark.sql import Window
-
+    ``n_centroids`` is the scale-governing parameter: C stays FIXED as N
+    grows, so the assign pass is O(N*C) — linear in N (a residue-class
+    parameter like the old ``centroid_mod=47`` default made C grow as
+    N/47, i.e. an O(N^2/47) assign at scale). The deterministic sampling
+    residue is derived from one count; swap in k-means training in prod —
+    the assign and probe stages are identical. Nearest-centroid choice is
+    a partial-aggregable ``max_by`` hash/sort aggregate (map-side combine
+    collapses the N*C product to N rows before any exchange) — NOT a
+    row_number window, which would shuffle and sort all N*C rows. All
+    scoring is floor-quantized integer cosine, so results are engine-exact
+    and oracle-checkable."""
     q = F.array(
         *[
             F.lit(int(__import__("math").floor(float(x) * scale))).cast("long")
@@ -176,22 +182,36 @@ def ivf_topk(
         df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("qv"))
         .withColumn("nv", _qnorm(F.col("qv")))
     )
+    if centroid_mod is None:
+        # one count at index-build time buys a C that does not grow with N
+        centroid_mod = max(1, df.count() // n_centroids)
     cents = qd.filter(F.col(id_col) % centroid_mod == 1).select(
         F.col(id_col).alias("cid"),
         F.col("qv").alias("cq"),
         F.col("nv").alias("cn"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("cid"))
-    assign = (
+    best = (
         qd.crossJoin(F.broadcast(cents))
         .withColumn(
             "ccos",
             _qdot(F.col("qv"), F.col("cq")).cast("double")
             / (F.col("nv") * F.col("cn")),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "qv", "nv", "cid")
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("qv", "nv", "cid"),
+                # max ccos, ties -> min cid (same total order the old
+                # window's ORDER BY ccos DESC, cid ASC produced)
+                F.struct(F.col("ccos"), (-F.col("cid")).alias("neg_cid")),
+            ).alias("w")
+        )
+    )
+    assign = best.select(
+        id_col,
+        F.col("w.qv").alias("qv"),
+        F.col("w.nv").alias("nv"),
+        F.col("w.cid").alias("cid"),
     )
     # probe: the query's nprobe nearest centroids (tiny driver read)
     qn = F.sqrt(F.lit(float(sum(v * v for v in [int(__import__("math").floor(float(x) * scale)) for x in query_vec]))))

@@ -152,3 +152,22 @@ def test_ngram_pairs_single_posting_shuffle(spark, sf_dir):
         assert "partial_count" in C.explain_str(df), "map-side combine"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ivf_assign_is_partial_aggregate_not_window(spark, sf_dir):
+    """The nearest-centroid assign must collapse the NxC product with a
+    partial-aggregable max_by (map-side combine -> the exchange carries N
+    rows), never a row_number window (which shuffles + sorts all NxC)."""
+    from pyspark.sql import functions as F
+
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import (
+        similarity as sim,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    df = sim.ivf_topk(e.filter(F.col("vec_id") != 0), qv, k=5, n_centroids=8)
+    text = C.explain_str(df)
+    assert "Window" not in text, "assign must not be a window"
+    assert "row_number" not in text
+    assert "partial_max_by" in text, "map-side combine before the exchange"
