@@ -399,23 +399,38 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing of tokenized docs (applyInPandas;
-    rows-only). The raw token array is projected to an order-sensitive
-    64-bit hash so the result is harness-canonicalizable (the driver
-    sorts/hashes columns; array<int> cells are unhashable in pandas)."""
+    """Greedy sequence packing of tokenized docs (applyInPandas). FULLY
+    oracle-checked: tokenization (portable md5-derived 60-bit hash mod
+    vocab), bucket assignment (portable hash mod 256), the bucket-local
+    greedy fold (a DuckDB recursive CTE walks the identical
+    ordered-by-doc_id sequence), and each pack's exact token CONTENT
+    (md5 of the comma-joined packed tokens — order-sensitive, so the
+    oracle verifies concatenation order, not just counts). The raw
+    array<int> is projected to that string hash because the driver
+    canonicalizer cannot sort/hash list cells."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.transform(
             tx.words("text"),
-            lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
+            lambda w: F.pmod(dd.portable_hash60(w), F.lit(50257)).cast("int"),
         ).alias("tokens"),
     )
-    packed = tk.pack_sequences(toks, max_len=512, key="doc_id")
+    packed = tk.pack_sequences(
+        toks,
+        max_len=512,
+        key="doc_id",
+        n_buckets=256,
+        bucket_expr=F.pmod(
+            dd.portable_hash60(F.col("doc_id").cast("string")), F.lit(256)
+        ).cast("int"),
+    )
     return packed.select(
         "pack_bucket",
         "pack_id",
-        tk.token_array_hash("tokens").alias("tokens_hash"),
+        F.md5(
+            F.array_join(F.transform("tokens", lambda t: t.cast("string")), ",")
+        ).alias("tokens_hash"),
         "n_docs",
         "n_tok",
     ).orderBy("pack_bucket", "pack_id")
@@ -1105,8 +1120,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS freq FROM tok
             GROUP BY token ORDER BY freq DESC, token LIMIT 50
         """,
-        # pack_sequences: intentionally omitted -> rows-only check (the
-        # bucket-local greedy packing fold is stateful, not ANSI-SQL).
+        # pack_sequences: the bucket-local greedy fold is sequential per
+        # bucket, which a recursive CTE replays exactly — all buckets
+        # advance one doc per recursion step (rn = prev rn + 1), carrying
+        # (pack_id, cur_len). Tokenization, bucketing, and the per-pack
+        # content hash all use the portable md5 family, so the driver
+        # hash-checks the packed token CONTENT, not just pack counts.
+        "pack_sequences": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_transform(string_split_regex(trim(text), ' +'),
+                       w -> CAST(CAST(concat('0x', substr(md5(w),1,15))
+                                      AS BIGINT) % 50257 AS INTEGER))
+                       AS tokens
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     CAST(CAST(concat('0x',
+                               substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+                               AS BIGINT) % 256 AS INTEGER) AS pack_bucket,
+                     tokens[1:512] AS t,
+                     least(len(tokens), 512) AS l,
+                     row_number() OVER (
+                       PARTITION BY CAST(CAST(concat('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+                           AS BIGINT) % 256 AS INTEGER)
+                       ORDER BY doc_id) AS rn
+              FROM toks
+            ), walk AS (
+              SELECT pack_bucket, rn, l, CAST(0 AS BIGINT) AS pack_id,
+                     l AS cur_len
+              FROM r WHERE rn = 1
+              UNION ALL
+              SELECT r.pack_bucket, r.rn, r.l,
+                     CASE WHEN w.cur_len + r.l > 512 AND w.cur_len > 0
+                          THEN w.pack_id + 1 ELSE w.pack_id END,
+                     CASE WHEN w.cur_len + r.l > 512 AND w.cur_len > 0
+                          THEN r.l ELSE w.cur_len + r.l END
+              FROM walk w
+              JOIN r ON r.pack_bucket = w.pack_bucket AND r.rn = w.rn + 1
+            )
+            SELECT w.pack_bucket, w.pack_id,
+                   md5(array_to_string(flatten(list(r.t ORDER BY w.rn)), ','))
+                       AS tokens_hash,
+                   CAST(count(*) AS INTEGER) AS n_docs,
+                   CAST(sum(w.l) AS INTEGER) AS n_tok
+            FROM walk w
+            JOIN r ON r.pack_bucket = w.pack_bucket AND r.rn = w.rn
+            GROUP BY w.pack_bucket, w.pack_id
+            HAVING sum(w.l) > 0
+            ORDER BY w.pack_bucket, w.pack_id
+        """,
     }
 
 

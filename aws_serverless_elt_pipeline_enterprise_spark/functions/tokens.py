@@ -131,12 +131,16 @@ def pack_sequences(
     max_len: int = 2048,
     key: str = "doc_id",
     n_buckets: int = 256,
+    bucket_expr: F.Column | None = None,
 ):
     """Greedy sequence packing: concatenate documents into fixed-length
     training rows. Distributed strategy: bucket documents by hash, pack
     WITHIN each bucket with applyInPandas (each bucket is one Arrow group,
     no global state), emit (pack_id, tokens, n_docs). Deterministic:
-    bucket-local ordering by (doc_id)."""
+    bucket-local ordering by (doc_id). ``bucket_expr`` overrides the
+    default xxhash64 bucket assignment (e.g. an md5-derived portable hash
+    so an external engine can replay the identical packing — the oracle
+    path); it must yield ints in [0, n_buckets)."""
     out_schema = T.StructType(
         [
             T.StructField("pack_bucket", T.IntegerType()),
@@ -167,7 +171,7 @@ def pack_sequences(
             packs, columns=["pack_bucket", "pack_id", "tokens", "n_docs", "n_tok"]
         )
 
-    bucketed = df.withColumn(
-        "pack_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
-    )
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    bucketed = df.withColumn("pack_bucket", bucket_expr)
     return bucketed.groupBy("pack_bucket").applyInPandas(pack, schema=out_schema)
