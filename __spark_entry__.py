@@ -281,6 +281,31 @@ def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_median_price_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH percentile: percentile_approx (Greenwald-Khanna
+    sketch, bounded memory, partial-aggregable) instead of the exact
+    F.percentile, which buffers every group value — at 100x the data the
+    exact version is the wrong default (BENCH.md round-2 note, now code).
+    Oracle-exact anyway: with accuracy >= group row count the GK summary
+    never compresses, and Spark then returns the sample at 1-indexed rank
+    ceil(q*n) — verified empirically and mirrored as a rank-selection in
+    SQL. (At sf>=1 with accuracy 10^6 the sketch would start compressing
+    and the equality becomes approximate; the driver gate runs sf0.01.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000000).alias(
+                "median_price"
+            ),
+            F.percentile_approx("l_extendedprice", 0.95, 1000000).alias(
+                "p95_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: users who clicked but never purchased (EXCEPT)."""
     ev = _t(spark, sf_dir, "events")
@@ -621,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "rollup_counts": q_rollup_counts,
         "median_price": q_median_price,
+        "median_price_approx": q_median_price_approx,
         "set_ops": q_set_ops,
         "anti_join": q_anti_join,
         "lag_delta": q_lag_delta,
@@ -783,6 +809,23 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_extendedprice, 0.5)  AS median_price,
                    quantile_cont(l_extendedprice, 0.95) AS p95_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # GK-sketch percentile at non-compressing accuracy == the sample
+        # at 1-indexed rank ceil(q*n) (empirically verified convention)
+        "median_price_approx": """
+            WITH s AS (
+              SELECT l_returnflag, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY l_extendedprice) AS rn,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem
+            )
+            SELECT l_returnflag,
+                   max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT)
+                            THEN l_extendedprice END)  AS median_price,
+                   max(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT)
+                            THEN l_extendedprice END)  AS p95_price
+            FROM s GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "set_ops": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
