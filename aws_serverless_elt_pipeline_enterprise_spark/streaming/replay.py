@@ -96,12 +96,84 @@ def _write_gate_verdict(
     os.replace(tmp, path)
 
 
+def _notify_gate_failure(
+    table: SnapshotTable,
+    epoch_id: str,
+    failures: list[str],
+    metrics: dict,
+    notify=None,
+) -> None:
+    """Gate-failure notification hook (T5 parity with the reference's SNS
+    publish on quarantine, workflow_ge_gate/main.tf:193-211): one JSONL
+    row appended to a notifications log under the table root — an ops
+    surface a poller/alerter can tail — plus an optional user callback
+    (the SNS/Slack/pager integration point). A callback error must never
+    mask the gate failure itself."""
+    import time as _time
+
+    ndir = os.path.join(table.root, "notifications.jsonl")
+    rec = {
+        "epoch_id": epoch_id,
+        "event": "dq_gate_failed",
+        "failures": failures,
+        "metrics": {k: int(v) for k, v in metrics.items()},
+        "wall_time": _time.time(),
+    }
+    with open(ndir, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    if notify is not None:
+        try:
+            notify(epoch_id, failures, dict(metrics))
+        except Exception:
+            pass
+
+
+def _gated_observe(
+    table: SnapshotTable,
+    good: DataFrame,
+    epoch_id: str,
+    dq_fail_on_corrupt: bool,
+    notify=None,
+):
+    """Attach the DQ Observation to the batch and return (observed_df,
+    gate_check). The gate rides the merge's own write job (zero extra
+    scans) and runs pre-manifest, so a failure aborts the commit
+    transactionally. Shared by the batch (apply_epoch) and streaming
+    (run_replay_streaming) paths — round 2 had the gate only on batch.
+
+    Null doc_id is NOT re-checked here: split_quarantine already routed
+    every null-key row to quarantine, so a post-split check could never
+    fire (dead-check trap) — the invariant is owned by the split."""
+    obs = Observation(f"dq_{epoch_id}_{uuid.uuid4().hex[:6]}")
+    dq_aggs = [
+        F.count(F.lit(1)).alias("row_count"),
+        F.count_if(
+            F.col("op").isin("insert", "update")
+            & (F.col("n_tok") != F.size("tokens"))
+        ).alias("ntok_mismatch"),
+    ]
+    observed = good.observe(obs, *dq_aggs)
+
+    def gate_check() -> None:
+        m = obs.get
+        failures = []
+        if dq_fail_on_corrupt and m["ntok_mismatch"] > 0:
+            failures.append(f"{m['ntok_mismatch']} rows with n_tok != size(tokens)")
+        if failures:
+            _write_gate_verdict(table, epoch_id, failures, dict(m))
+            _notify_gate_failure(table, epoch_id, failures, dict(m), notify)
+            raise ValueError(f"DQ gate failed for epoch {epoch_id}: {failures}")
+
+    return observed, gate_check
+
+
 def apply_epoch(
     table: SnapshotTable,
     events: DataFrame,
     epoch_id: str,
     quarantine_dir: str | None = None,
     dq_fail_on_corrupt: bool = False,
+    notify=None,
 ) -> dict | None:
     """One epoch through the full pipeline. Returns lineage or None if the
     epoch was already committed / empty."""
@@ -123,30 +195,10 @@ def apply_epoch(
         if not affected:
             return table.merge_reduced(good.limit(0), epoch_id, affected=[])
 
-    # DQ gate rides the merge write as an Observation on the pre-repair
-    # rows: zero extra scans, still transactional (checked pre-manifest).
-    # Null doc_id is NOT re-checked here: split_quarantine already routed
-    # every null-key row to quarantine, so a post-split check could never
-    # fire (dead-check trap) — the invariant is owned by the split.
-    obs = Observation(f"dq_{epoch_id}")
-    dq_aggs = [
-        F.count(F.lit(1)).alias("row_count"),
-        F.count_if(
-            F.col("op").isin("insert", "update")
-            & (F.col("n_tok") != F.size("tokens"))
-        ).alias("ntok_mismatch"),
-    ]
-    observed = good.observe(obs, *dq_aggs)
+    observed, gate_check = _gated_observe(
+        table, good, epoch_id, dq_fail_on_corrupt, notify
+    )
     repaired = repair_ntok(observed)
-
-    def gate_check() -> None:
-        m = obs.get
-        failures = []
-        if dq_fail_on_corrupt and m["ntok_mismatch"] > 0:
-            failures.append(f"{m['ntok_mismatch']} rows with n_tok != size(tokens)")
-        if failures:
-            _write_gate_verdict(table, epoch_id, failures, dict(m))
-            raise ValueError(f"DQ gate failed for epoch {epoch_id}: {failures}")
 
     # No pre-reduction: the merge's own groupBy/max_by aggregate performs
     # dedup + LWW + upsert in one partial-aggregable shuffle (map-side
@@ -357,6 +409,8 @@ def run_replay_streaming(
     checkpoint_dir: str,
     watermark_ttl: str = "30 days",
     quarantine_dir: str | None = None,
+    dq_fail_on_corrupt: bool = False,
+    notify=None,
 ) -> None:
     """Structured Streaming replay: file source over the whole log dir,
     availableNow trigger (process-everything-then-stop), watermarked
@@ -385,8 +439,18 @@ def run_replay_streaming(
             # same DLQ as the batch path — the streaming driver must not
             # silently drop malformed envelopes
             _quarantine_write(bad, quarantine_dir, eid)
-        good = repair_ntok(good)
-        table.merge_reduced(good.drop("batch_id"), eid)
+        # same transactional DQ gate as apply_epoch (round 2 had it only
+        # on the batch path): the gate raises pre-manifest, the micro-batch
+        # fails, Spark surfaces a StreamingQueryException, and the epoch
+        # stays uncommitted — a later restart re-reads the same files
+        observed, gate_check = _gated_observe(
+            table, good, eid, dq_fail_on_corrupt, notify
+        )
+        repaired = repair_ntok(observed)
+        table.merge_reduced(repaired.drop("batch_id"), eid, pre_commit=gate_check)
+        stale_verdict = os.path.join(table.root, "verdicts", f"epoch={eid}.json")
+        if os.path.exists(stale_verdict):
+            os.remove(stale_verdict)
 
     q = (
         deduped.writeStream.foreachBatch(_merge)

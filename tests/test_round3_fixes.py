@@ -144,3 +144,89 @@ def test_stateful_lww_equal_seq_tiebreak_is_order_independent():
         assert len(out) == 1
         winners.append(tuple(out[0].iloc[0][["seq", "op"]]))
     assert len(set(winners)) == 1, f"order-dependent winners: {winners}"
+
+
+def test_gate_failure_notification_row_and_callback(spark, tmp_path):
+    """T5 parity: a gate failure appends a notifications.jsonl row (the
+    reference publishes SNS on quarantine) and fires the user callback;
+    a crashing callback must not mask the gate failure."""
+    import json
+    import os
+
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        apply_epoch,
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    bad = spark.createDataFrame([("insert", "a", 1, [1, 2], 99)], EVENT_SCHEMA)
+    called = []
+    with pytest.raises(ValueError, match="DQ gate failed"):
+        apply_epoch(
+            table, bad, "ep-0", dq_fail_on_corrupt=True,
+            notify=lambda e, f, m: called.append((e, f, m)),
+        )
+    assert called and called[0][0] == "ep-0"
+    npath = os.path.join(table.root, "notifications.jsonl")
+    rows = [json.loads(line) for line in open(npath)]
+    assert rows[0]["epoch_id"] == "ep-0"
+    assert rows[0]["event"] == "dq_gate_failed"
+    assert rows[0]["metrics"]["ntok_mismatch"] == 1
+    with pytest.raises(ValueError, match="DQ gate failed"):
+        apply_epoch(
+            table, bad, "ep-1", dq_fail_on_corrupt=True,
+            notify=lambda e, f, m: 1 / 0,
+        )
+    assert len([json.loads(line) for line in open(npath)]) == 2
+
+
+def test_streaming_dq_gate_aborts_then_resumes(spark, tmp_path):
+    """Streaming twin of the transactional batch gate test: a corrupt
+    micro-batch aborts WITHOUT committing (verdict + notification written),
+    and a restart from the same checkpoint replays it cleanly."""
+    import json
+    import os
+
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        run_replay,
+        run_replay_streaming,
+    )
+
+    spec = ChangelogSpec(
+        n_events=4_000, n_keys=300, n_batches=2, seed=7, corrupt_ntok_rate=0.02
+    )
+    log = str(tmp_path / "log")
+    generate_changelog(spark, log, spec)
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    ck = str(tmp_path / "ck")
+    notes = []
+    with pytest.raises(Exception, match="DQ gate failed"):
+        run_replay_streaming(
+            spark, log, table, ck, dq_fail_on_corrupt=True,
+            notify=lambda e, f, m: notes.append(e),
+        )
+    assert table.state().count() == 0, "failed micro-batch must not commit"
+    assert notes, "notify callback fired"
+    assert os.path.exists(os.path.join(table.root, "notifications.jsonl"))
+    vdir = os.path.join(table.root, "verdicts")
+    assert os.listdir(vdir), "verdict artifact written for the aborted epoch"
+    # restart from the SAME checkpoint with the strict gate off: the same
+    # files are re-read, repair_ntok fixes the counters, the epoch commits
+    run_replay_streaming(spark, log, table, ck, dq_fail_on_corrupt=False)
+    got = {
+        (r["doc_id"], r["_seq"])
+        for r in table.read().filter("NOT coalesce(_deleted, false)")
+        .select("doc_id", "_seq").collect()
+    }
+    # batch-path oracle over the same log
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), n_buckets=4, mode="mor")
+    run_replay(spark, log, t2)
+    want = {
+        (r["doc_id"], r["_seq"])
+        for r in t2.read().filter("NOT coalesce(_deleted, false)")
+        .select("doc_id", "_seq").collect()
+    }
+    assert got == want and len(got) > 0
