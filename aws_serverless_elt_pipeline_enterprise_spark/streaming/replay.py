@@ -385,20 +385,52 @@ def _stream_instance(checkpoint_dir: str) -> str:
         return f.read().strip()
 
 
-def unified_log_schema(spark: SparkSession, log_dir: str):
+def unified_log_schema(spark: SparkSession, log_dir: str, cache_dir: str | None = None):
     """Widest-common schema across every batch dir currently in the log
     (driver-side parquet-footer reads only). Spark's parquet reader fills
     columns missing from older files with NULL and up-casts narrower
     stored ints to the requested wider type, so one unified read schema
-    covers an additively-evolving log. A production log would cache the
-    per-batch schema fingerprint in its manifest instead of re-reading
-    footers."""
+    covers an additively-evolving log.
+
+    ``cache_dir`` (typically the stream's checkpoint dir) holds a
+    log-level schema manifest: per-batch schema JSON keyed by batch dir
+    name, so repeated calls — stream start AND the per-micro-batch
+    evolution guard of ``run_replay_tailing`` — read footers only for
+    batch dirs not seen before. Without the cache this was O(batches)
+    serial driver I/O per stream start. Batch dirs are immutable once
+    renamed into the log (the writer contract), so the cache never
+    staleness-checks."""
+    import pyspark.sql.types as T
+
     paths = list_batches(log_dir)
     if not paths:
         return None  # empty log: caller no-ops (matches run_replay)
-    schema = spark.read.parquet(paths[0]).schema
-    for p in paths[1:]:
-        schema = unify_schemas(schema, spark.read.parquet(p).schema)
+    cache: dict[str, str] = {}
+    cache_file = None
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_file = os.path.join(cache_dir, "_schema_cache.json")
+        if os.path.exists(cache_file):
+            with open(cache_file) as f:
+                cache = json.load(f)
+    dirty = False
+    schema = None
+    for p in paths:
+        name = os.path.basename(p)
+        if name in cache:
+            s = T.StructType.fromJson(json.loads(cache[name]))
+        else:
+            s = spark.read.parquet(p).schema  # one footer read, new dirs only
+            cache[name] = json.dumps(s.jsonValue())
+            dirty = True
+        # self-unify canonicalizes nullability so outgrown-schema equality
+        # checks can't oscillate on nullable flags
+        schema = unify_schemas(schema, s) if schema is not None else unify_schemas(s, s)
+    if cache_file is not None and dirty:
+        tmp = cache_file + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump(cache, f)
+        os.replace(tmp, cache_file)
     return schema
 
 
@@ -421,7 +453,7 @@ def run_replay_streaming(
     additive column / int widening flows through (mirrors the batch
     path's unify_schemas; reference crawler policy UPDATE_IN_DATABASE,
     glue_catalog/main.tf:77-79)."""
-    schema = unified_log_schema(spark, log_dir)
+    schema = unified_log_schema(spark, log_dir, cache_dir=checkpoint_dir)
     if schema is None:
         return  # nothing to replay yet
     instance = _stream_instance(checkpoint_dir)
@@ -431,8 +463,34 @@ def run_replay_streaming(
         .parquet(os.path.join(log_dir, "batch_*"))
     )
     deduped = dedup_events_stream(stream, ttl=watermark_ttl)
+    merge = _make_merge(
+        table, instance, quarantine_dir, dq_fail_on_corrupt, notify
+    )
+    q = (
+        deduped.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _make_merge(
+    table: SnapshotTable,
+    instance: str,
+    quarantine_dir: str | None,
+    dq_fail_on_corrupt: bool,
+    notify,
+    pre_merge_check=None,
+):
+    """foreachBatch body shared by the availableNow replay and the
+    continuous tail: quarantine split -> DQ-gated idempotent merge.
+    ``pre_merge_check`` (tail only) runs FIRST and may raise to fail the
+    micro-batch before anything commits — the schema-evolution guard."""
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if pre_merge_check is not None:
+            pre_merge_check()
         eid = f"stream-{instance}-{epoch_id}"
         good, bad = split_quarantine(batch_df)
         if quarantine_dir is not None:
@@ -452,10 +510,101 @@ def run_replay_streaming(
         if os.path.exists(stale_verdict):
             os.remove(stale_verdict)
 
-    q = (
-        deduped.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return _merge
+
+
+class SchemaEvolvedRestart(Exception):
+    """Internal control-flow signal: the log's unified schema outgrew the
+    running stream's read schema; fail the micro-batch (uncommitted) and
+    restart the stream with the wider schema."""
+
+
+def run_replay_tailing(
+    spark: SparkSession,
+    log_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    watermark_ttl: str = "30 days",
+    quarantine_dir: str | None = None,
+    dq_fail_on_corrupt: bool = False,
+    notify=None,
+    poll_interval_sec: float = 1.0,
+    stop_when=None,
+) -> None:
+    """Genuinely CONTINUOUS tail (processingTime trigger) with mid-stream
+    additive schema evolution — the gap ``run_replay_streaming`` leaves:
+    an availableNow pass computes the unified read schema once at start,
+    which is correct for replay but a long-running tail would never see a
+    column added after start (the reference's crawler re-crawls on a
+    schedule for the same reason, glue_catalog/main.tf:137-154).
+
+    Mechanism: every micro-batch's foreachBatch FIRST re-checks the log's
+    unified schema (cheap: the checkpoint-dir schema cache means only
+    NEW batch dirs cost a footer read). If the log outgrew the stream's
+    read schema, the micro-batch fails BEFORE any merge — Spark does not
+    commit its offsets — and the driver loop restarts the stream with the
+    wider schema, re-reading the failed files. The guard is race-free
+    because it runs strictly AFTER the source fixed the micro-batch's
+    file list: any file that could carry the wider schema either is in
+    this (aborted) batch or will be caught by a later guard. Without the
+    guard, a wide file read under the narrow schema would silently drop
+    the new column AND commit — unrecoverable data loss.
+
+    ``stop_when()`` is polled every ``poll_interval_sec``; return True to
+    drain and stop (tests / bounded runs). Errors other than the
+    evolution signal propagate."""
+    import time as _time
+
+    while True:
+        schema = unified_log_schema(spark, log_dir, cache_dir=checkpoint_dir)
+        if schema is None:
+            if stop_when is not None and stop_when():
+                return
+            _time.sleep(poll_interval_sec)
+            continue
+        instance = _stream_instance(checkpoint_dir)
+
+        def schema_guard(current=schema):
+            latest = unified_log_schema(spark, log_dir, cache_dir=checkpoint_dir)
+            if latest is not None and unify_schemas(current, latest) != current:
+                raise SchemaEvolvedRestart(
+                    f"log schema evolved beyond the stream's read schema: "
+                    f"{current.simpleString()} -> {latest.simpleString()}"
+                )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "64")
+            .parquet(os.path.join(log_dir, "batch_*"))
+        )
+        deduped = dedup_events_stream(stream, ttl=watermark_ttl)
+        merge = _make_merge(
+            table, instance, quarantine_dir, dq_fail_on_corrupt, notify,
+            pre_merge_check=schema_guard,
+        )
+        q = (
+            deduped.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{poll_interval_sec} seconds")
+            .start()
+        )
+        evolved = False
+        try:
+            while q.isActive:
+                if stop_when is not None and stop_when():
+                    # graceful drain: stop() waits for the in-flight
+                    # micro-batch, the table's epoch set guards replays
+                    q.stop()
+                    q.awaitTermination()
+                    return
+                q.awaitTermination(timeout=poll_interval_sec)
+        except Exception as e:  # StreamingQueryException wraps the cause
+            if "SchemaEvolvedRestart" in str(e) or "schema evolved beyond" in str(e):
+                evolved = True
+            else:
+                raise
+        if not evolved:
+            # stream died without an evolution signal and without stop —
+            # surface whatever terminated it
+            q.awaitTermination()
+            return

@@ -230,3 +230,115 @@ def test_streaming_dq_gate_aborts_then_resumes(spark, tmp_path):
         .select("doc_id", "_seq").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_tailing_stream_mid_stream_schema_evolution(spark, tmp_path):
+    """Continuous tail (processingTime trigger, NOT availableNow): a
+    column added + int widened AFTER the stream started must flow through
+    — the per-micro-batch schema guard fails the batch uncommitted, the
+    loop restarts with the wider schema, and the final state matches the
+    batch-path oracle over the full log."""
+    import os
+    import shutil
+    import time
+
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        run_replay,
+        run_replay_tailing,
+    )
+
+    spec = ChangelogSpec(
+        n_events=4_000, n_keys=300, n_batches=4, seed=11, evolve_at_batch=2
+    )
+    staging = str(tmp_path / "staging")
+    generate_changelog(spark, staging, spec)
+    # batch-path oracle over the FULL log, computed up front
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), n_buckets=4, mode="mor")
+    run_replay(spark, staging, t2)
+    want_rows = t2.read().filter("NOT coalesce(_deleted, false)")
+    want = {
+        (r["doc_id"], r["_seq"], r["quality_score"])
+        for r in want_rows.select("doc_id", "_seq", "quality_score").collect()
+    }
+
+    log = tmp_path / "log"
+    log.mkdir()
+    for b in ("batch_00000", "batch_00001"):  # narrow prefix visible at start
+        shutil.move(os.path.join(staging, b), str(log / b))
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    phase = {"v": 0}
+    deadline = time.monotonic() + 240
+
+    def driver():
+        assert time.monotonic() < deadline, "tail did not converge in time"
+        if phase["v"] == 0 and table.current_version() is not None:
+            # the stream is live and has committed the narrow prefix:
+            # NOW the log evolves under it
+            for b in ("batch_00002", "batch_00003"):
+                shutil.move(os.path.join(staging, b), str(log / b))
+            phase["v"] = 1
+            return False
+        if phase["v"] == 1:
+            sch = table.schema()
+            if sch is None or "quality_score" not in [f.name for f in sch.fields]:
+                return False
+            got_rows = table.read().filter("NOT coalesce(_deleted, false)")
+            return got_rows.count() == len(want)
+        return False
+
+    run_replay_tailing(
+        spark, str(log), table, str(tmp_path / "ck"),
+        poll_interval_sec=0.5, stop_when=driver,
+    )
+    got = {
+        (r["doc_id"], r["_seq"], r["quality_score"])
+        for r in table.read().filter("NOT coalesce(_deleted, false)")
+        .select("doc_id", "_seq", "quality_score").collect()
+    }
+    assert got == want and len(got) > 0
+    # widening flowed through too
+    ntok_type = [
+        f.dataType.simpleString() for f in table.schema().fields
+        if f.name == "n_tok"
+    ]
+    assert ntok_type == ["bigint"]
+
+
+def test_unified_log_schema_cache_avoids_footer_rereads(spark, tmp_path):
+    """The checkpoint-dir schema cache must make repeat calls O(new
+    batches): gutting an already-cached batch dir's files (a footer
+    re-read would crash) must not affect the result, while a NEW batch
+    dir is read and cached."""
+    import json
+    import os
+    import shutil
+
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        unified_log_schema,
+    )
+
+    spec = ChangelogSpec(n_events=1_000, n_keys=100, n_batches=2, seed=3)
+    log = str(tmp_path / "log")
+    generate_changelog(spark, log, spec)
+    ck = str(tmp_path / "ck")
+    s1 = unified_log_schema(spark, log, cache_dir=ck)
+    cache = json.load(open(os.path.join(ck, "_schema_cache.json")))
+    assert set(cache) == {"batch_00000", "batch_00001"}
+    # cached dir's files vanish -> only the cache can supply its schema
+    b0 = os.path.join(log, "batch_00000")
+    for f in os.listdir(b0):
+        os.remove(os.path.join(b0, f))
+    assert unified_log_schema(spark, log, cache_dir=ck) == s1
+    # a NEW batch dir is footer-read exactly once and joins the cache
+    shutil.copytree(os.path.join(log, "batch_00001"), os.path.join(log, "batch_00002"))
+    assert unified_log_schema(spark, log, cache_dir=ck) == s1
+    cache = json.load(open(os.path.join(ck, "_schema_cache.json")))
+    assert "batch_00002" in cache
