@@ -909,6 +909,46 @@ class SnapshotTable:
             return None
         return self.compact_minor() if minor else self.compact()
 
+    def expire_snapshots(self, keep_last: int = 8) -> dict:
+        """Metadata + data retention (Iceberg ``expire_snapshots``): keep
+        only the newest ``keep_last`` version manifests, then remove every
+        commit dir no kept manifest references. Without this, one manifest
+        file per version accumulates forever — at an epoch a minute that
+        is ~0.5M driver-side files a year — and expired versions' commit
+        dirs (which ``expire_orphans`` never touches, since it only reads
+        LATEST) pin their data on disk. Time travel stays available within
+        the kept horizon and raises FileNotFoundError beyond it.
+
+        Like ``expire_orphans``, this is a maintenance operation: do not
+        run it concurrent with a writer (an in-flight commit dir whose
+        manifest is not yet written would look unreferenced — the same
+        caveat as Iceberg's remove_orphan_files retention interval)."""
+        cur = self.current_version()
+        out = {"removed_manifests": [], "removed_commits": []}
+        if cur is None:
+            return out
+        horizon = cur - max(1, keep_last) + 1
+        mdir = os.path.join(self.root, "manifests")
+        live: set[str] = set()
+        for name in sorted(os.listdir(mdir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            v = int(name[1:-5])
+            if v >= horizon:
+                m = self.manifest(v)
+                live |= {d for dirs in m["buckets"].values() for d in dirs}
+                live |= set(m.get("global_deltas", []))
+            else:
+                os.remove(os.path.join(mdir, name))
+                out["removed_manifests"].append(name)
+        cdir = os.path.join(self.root, "commits")
+        for d in os.listdir(cdir):
+            rel = os.path.join("commits", d)
+            if rel not in live:
+                shutil.rmtree(os.path.join(cdir, d))
+                out["removed_commits"].append(rel)
+        return out
+
     def expire_orphans(self) -> list[str]:
         """Remove commit dirs unreferenced by the latest manifest (vacuum).
         Old manifests lose time-travel to expired commits, like Iceberg's

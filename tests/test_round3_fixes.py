@@ -342,3 +342,45 @@ def test_unified_log_schema_cache_avoids_footer_rereads(spark, tmp_path):
     assert unified_log_schema(spark, log, cache_dir=ck) == s1
     cache = json.load(open(os.path.join(ck, "_schema_cache.json")))
     assert "batch_00002" in cache
+
+
+def test_expire_snapshots_bounds_metadata_across_1000_epochs(spark, tmp_path):
+    """One manifest per version must not accumulate forever: after 10^3
+    epochs with periodic expiry the manifest count is bounded by
+    keep_last, LATEST still reads the full state, time travel works
+    within the horizon and fails loudly beyond it."""
+    import os
+
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        apply_epoch,
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="cow")
+    seed = spark.createDataFrame(
+        [("insert", f"k{i}", i + 1, [i], 1) for i in range(20)], EVENT_SCHEMA
+    )
+    apply_epoch(table, seed, "seed")
+    want = table.state().count()
+    empty = spark.createDataFrame([], EVENT_SCHEMA)
+    mdir = os.path.join(table.root, "manifests")
+    removed_total = 0
+    for i in range(1000):  # manifest-only commits: no Spark job each
+        table.merge_reduced(empty, f"e-{i}", affected=[])
+        if i % 200 == 199:
+            r = table.expire_snapshots(keep_last=5)
+            removed_total += len(r["removed_manifests"])
+            assert len(os.listdir(mdir)) == 5
+    assert removed_total == 1001 - 5, "old manifests actually deleted"
+    assert len(os.listdir(mdir)) == 5
+    assert table.state().count() == want, "LATEST still reads after expiry"
+    cur = table.current_version()
+    # time travel inside the horizon
+    assert table.read(version=cur - 4).count() >= 0
+    # beyond the horizon: loud failure, not silent wrong answer
+    with pytest.raises(FileNotFoundError):
+        table.manifest(version=cur - 5)
+    # the data of the seed epoch survives (still referenced by kept
+    # manifests through bucket carry-forward)
+    assert table.state().count() == want
+    # epoch ledger still exact: replaying any old epoch skips
+    assert table.has_epoch("e-3") and table.has_epoch("seed")
