@@ -530,6 +530,12 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     proc_dir = os.path.join(base, str(os.getpid()))
     os.makedirs(proc_dir, exist_ok=True)
+    # the returned DataFrame reads the table lazily, so the dir must live
+    # until the driver has collected — clean at interpreter exit; the
+    # dead-pid sweep above remains the backstop for kill -9
+    import atexit
+
+    atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
     root = tempfile.mkdtemp(dir=proc_dir)
     table = SnapshotTable(
         spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
