@@ -210,25 +210,33 @@ def _partition_rows(commit_abs: str, cap: int = 4096) -> dict:
     lineage surface. For COW commits the keys carry the bucket dir
     (``_bucket=k/part-...``); for MOR deltas they are the task output
     files. Above ``cap`` partitions only the summary is kept (a manifest
-    must not grow with file count)."""
+    must not grow with file count). Footers are read on a thread pool —
+    pyarrow releases the GIL during I/O, so the per-commit driver cost is
+    ~n_files/16 round-trips instead of a serial walk (at the 4096-file
+    cap that is the difference between ~0.5 s and ~10 s per commit)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    per: dict[str, int] = {}
-    total = 0
-    n = 0
+    paths: list[str] = []
     for root, _, files in os.walk(commit_abs):
         for fn in sorted(files):
-            if not fn.endswith(".parquet"):
-                continue
-            path = os.path.join(root, fn)
-            rows = pq.ParquetFile(path).metadata.num_rows
-            total += rows
-            n += 1
-            if n <= cap:
-                per[os.path.relpath(path, commit_abs)] = rows
-    out: dict = {"n_files": n, "total_rows": total}
-    if n <= cap:
-        out["per_partition"] = per
+            if fn.endswith(".parquet"):
+                paths.append(os.path.join(root, fn))
+
+    def rows_of(path: str) -> int:
+        return pq.ParquetFile(path).metadata.num_rows
+
+    if len(paths) > 8:
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            counts = list(ex.map(rows_of, paths))
+    else:
+        counts = [rows_of(p) for p in paths]
+    out: dict = {"n_files": len(paths), "total_rows": int(sum(counts))}
+    if len(paths) <= cap:
+        out["per_partition"] = {
+            os.path.relpath(p, commit_abs): int(c) for p, c in zip(paths, counts)
+        }
     return out
 
 

@@ -86,8 +86,18 @@ def main() -> None:
         max_depth = max(max_depth, depth)
         if table.maybe_compact(max_deltas=MAX_DELTAS) is not None:
             minors += 1
+            # retention runs with maintenance: keep the manifest count AND
+            # the on-disk commit set bounded (without this, superseded
+            # delta dirs accumulate — a first 2x10^8 run grew the table
+            # dir to 17 GB; with expiry it stays ~ final-table-sized)
+            table.expire_snapshots(keep_last=MAX_DELTAS)
         epoch_secs.append(round(time.monotonic() - t0, 2))
     assert max_depth <= MAX_DELTAS, (max_depth, MAX_DELTAS)
+    tbl_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(tbl)
+        for f in fs
+    )
     t_maint = time.monotonic()
     table.compact()
     final_rows = table.state().count()
@@ -105,6 +115,7 @@ def main() -> None:
         "minor_compactions": minors,
         "final_compact_sec": round(time.monotonic() - t_maint, 1),
         "final_rows": final_rows,
+        "table_gb_before_final_compact": round(tbl_bytes / 2**30, 2),
         "cpus": int(cpus),
     }
     print(json.dumps(out))
@@ -115,10 +126,12 @@ def main() -> None:
             f"{n_batches} epochs, maybe_compact(max_deltas={MAX_DELTAS}) "
             f"in the loop\n\n"
             f"| events/sec | 2nd/1st half epoch time | max delta depth | "
-            f"minor compactions | final rows |\n|---|---|---|---|---|\n"
+            f"minor compactions | table GB pre-final-compact | final rows |"
+            f"\n|---|---|---|---|---|---|\n"
             f"| {out['events_per_sec']:,.0f} | "
             f"{out['second_half_over_first_half']} | {max_depth} | "
-            f"{minors} | {final_rows:,} |\n"
+            f"{minors} | {out['table_gb_before_final_compact']} | "
+            f"{final_rows:,} |\n"
         )
     shutil.rmtree(tbl, ignore_errors=True)
     spark.stop()
