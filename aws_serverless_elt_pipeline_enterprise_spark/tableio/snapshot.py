@@ -210,10 +210,11 @@ def _partition_rows(commit_abs: str, cap: int = 4096) -> dict:
     lineage surface. For COW commits the keys carry the bucket dir
     (``_bucket=k/part-...``); for MOR deltas they are the task output
     files. Above ``cap`` partitions only the summary is kept (a manifest
-    must not grow with file count). Footers are read on a thread pool —
-    pyarrow releases the GIL during I/O, so the per-commit driver cost is
-    ~n_files/16 round-trips instead of a serial walk (at the 4096-file
-    cap that is the difference between ~0.5 s and ~10 s per commit)."""
+    must not grow with file count). Large file sets read footers on a
+    thread pool — useful on high-latency object storage where each footer
+    is a network round-trip. Small sets stay SERIAL: measured on tmpfs,
+    26 files cost 3 ms serial vs 86 ms pooled (pool spawn + GIL-bound
+    footer parse dominate when the read itself is a memory copy)."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
@@ -227,7 +228,7 @@ def _partition_rows(commit_abs: str, cap: int = 4096) -> dict:
     def rows_of(path: str) -> int:
         return pq.ParquetFile(path).metadata.num_rows
 
-    if len(paths) > 8:
+    if len(paths) > 256:
         with ThreadPoolExecutor(max_workers=16) as ex:
             counts = list(ex.map(rows_of, paths))
     else:
