@@ -1140,7 +1140,9 @@ def oracle_sql() -> dict[str, str]:
               -- mod = max(1, N // n_centroids)
               SELECT greatest(1, count(*) // 32) AS m FROM v
             ), c AS (
-              SELECT vec_id AS cid, q AS cq FROM v, md WHERE vec_id % md.m = 1
+              -- residue 1 % m mirrors the engine: m = 1 selects ALL rows
+              SELECT vec_id AS cid, q AS cq FROM v, md
+              WHERE vec_id % md.m = 1 % md.m
             ), assign AS (
               SELECT vec_id, q, cid FROM (
                 SELECT v.vec_id, v.q, c.cid,

@@ -420,17 +420,37 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             converged = True
             break
     if not converged:
-        # a component with diameter > max_iter would otherwise silently
-        # return labels that diverge from the transitive closure
-        import warnings
-
-        warnings.warn(
-            f"dup_clusters: label propagation did not converge within "
-            f"{max_iter} rounds (component diameter exceeds max_iter); "
-            f"labels are a refinement, not the transitive closure",
-            RuntimeWarning,
-            stacklevel=2,
+        # the loop exhausted with its LAST round still changing labels —
+        # but that round may itself have been the converging one. One
+        # verify-only probe (join + limit(1) count, no label update)
+        # distinguishes "converged exactly on round max_iter" from
+        # "truncated", so ops alerting on this warning gets no false
+        # positive for diameter == max_iter components.
+        prop = sym.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        still_changing = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
         )
+        if still_changing:
+            # diameter > max_iter: labels diverge from the transitive
+            # closure and must not be consumed silently
+            import warnings
+
+            warnings.warn(
+                f"dup_clusters: label propagation did not converge within "
+                f"{max_iter} rounds (component diameter exceeds max_iter); "
+                f"labels are a refinement, not the transitive closure",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 

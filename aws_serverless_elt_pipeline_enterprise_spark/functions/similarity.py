@@ -185,7 +185,12 @@ def ivf_topk(
     if centroid_mod is None:
         # one count at index-build time buys a C that does not grow with N
         centroid_mod = max(1, df.count() // n_centroids)
-    cents = qd.filter(F.col(id_col) % centroid_mod == 1).select(
+    # residue 1 % mod, not a literal 1: when mod == 1 (table smaller than
+    # ~2*n_centroids) `id % 1 == 1` matches NOTHING — the engine would
+    # silently degrade to brute force while an oracle replaying the
+    # assign/probe chain returns zero rows. With 1 % mod, mod == 1 makes
+    # every vector a centroid (exact search, still oracle-aligned).
+    cents = qd.filter(F.col(id_col) % centroid_mod == 1 % centroid_mod).select(
         F.col(id_col).alias("cid"),
         F.col("qv").alias("cq"),
         F.col("nv").alias("cn"),

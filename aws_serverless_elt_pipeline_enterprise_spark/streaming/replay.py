@@ -555,18 +555,40 @@ def run_replay_tailing(
     evolution signal propagate."""
     import time as _time
 
+    # steady-state memo: the guard runs every micro-batch, so it must be
+    # O(new batch dirs), not O(all batch dirs). The dir-name tuple is the
+    # cache key (batch dirs are immutable once renamed in); only when it
+    # changes does the full cache-file parse + unify run.
+    memo: dict = {"names": None, "schema": None}
+
+    def current_log_schema():
+        names = tuple(os.path.basename(p) for p in list_batches(log_dir))
+        if names != memo["names"]:
+            memo["schema"] = unified_log_schema(
+                spark, log_dir, cache_dir=checkpoint_dir
+            )
+            memo["names"] = names
+        return memo["schema"]
+
     while True:
-        schema = unified_log_schema(spark, log_dir, cache_dir=checkpoint_dir)
+        schema = current_log_schema()
         if schema is None:
             if stop_when is not None and stop_when():
                 return
             _time.sleep(poll_interval_sec)
             continue
         instance = _stream_instance(checkpoint_dir)
+        # flag set by the guard BEFORE raising: classification of the
+        # stream's death must not depend on Spark's exception-message
+        # formatting (string matching could misread a genuine failure as
+        # an evolution restart, or vice versa). foreachBatch runs on the
+        # driver, so the flag is visible here directly.
+        evolved = {"v": False}
 
-        def schema_guard(current=schema):
-            latest = unified_log_schema(spark, log_dir, cache_dir=checkpoint_dir)
+        def schema_guard(current=schema, evolved=evolved):
+            latest = current_log_schema()
             if latest is not None and unify_schemas(current, latest) != current:
+                evolved["v"] = True
                 raise SchemaEvolvedRestart(
                     f"log schema evolved beyond the stream's read schema: "
                     f"{current.simpleString()} -> {latest.simpleString()}"
@@ -588,7 +610,6 @@ def run_replay_tailing(
             .trigger(processingTime=f"{poll_interval_sec} seconds")
             .start()
         )
-        evolved = False
         try:
             while q.isActive:
                 if stop_when is not None and stop_when():
@@ -598,12 +619,13 @@ def run_replay_tailing(
                     q.awaitTermination()
                     return
                 q.awaitTermination(timeout=poll_interval_sec)
-        except Exception as e:  # StreamingQueryException wraps the cause
-            if "SchemaEvolvedRestart" in str(e) or "schema evolved beyond" in str(e):
-                evolved = True
-            else:
+        except Exception:
+            if not evolved["v"]:
                 raise
-        if not evolved:
+        # the query may also die between polls WITHOUT awaitTermination
+        # raising inside the try (while q.isActive sees it already dead);
+        # the flag — not the exception path — decides restart vs surface
+        if not evolved["v"]:
             # stream died without an evolution signal and without stop —
             # surface whatever terminated it
             q.awaitTermination()

@@ -38,18 +38,28 @@ def _update_fn(ttl_ms: int):
         best_seq, best_op, best_ntok = (
             state.get if state.exists else (-1, None, None)
         )
+
+        def rank(op, ntok):
+            # total order over the payload for equal-seq ties; None sorts
+            # lowest (mirrors pandas na_position='first')
+            return (
+                (1, op) if op is not None else (0, ""),
+                (1, ntok) if ntok is not None else (0, 0),
+            )
+
         changed = False
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            # Equal-seq ties broken by the (op, n_tok) payload order, NOT
-            # by idxmax's first-occurrence-in-Arrow-batch-order (which is
-            # partition-order-dependent: replaying the same stream could
-            # emit different winners for pathological equal-seq events).
-            # Mirrors the table merge's deterministic total order on
-            # (seq, payload tie-break); the exact tie KEY differs (the
-            # merge hashes with xxhash64, unavailable here) but both
-            # paths are individually replay-stable.
+            # Equal-seq ties broken by the (op, n_tok) payload order
+            # EVERYWHERE — within a chunk (sort of the tied rows), across
+            # the multiple Arrow chunks a large group is delivered in, and
+            # against the carried state — NOT by idxmax first-occurrence
+            # (chunk assignment follows shuffle-fetch order, so that was
+            # replay-unstable). Mirrors the table merge's deterministic
+            # total order on (seq, payload tie-break); the exact tie KEY
+            # differs (the merge hashes with xxhash64, unavailable here)
+            # but both paths are individually replay-stable.
             cand = pdf[pdf["seq"] == pdf["seq"].max()]
             if len(cand) > 1:  # vectorized: sort only the tied rows
                 cand = cand.sort_values(
@@ -57,11 +67,13 @@ def _update_fn(ttl_ms: int):
                 )
             i = cand.index[0]
             seq = int(pdf["seq"].loc[i])
-            if seq > best_seq:
-                best_seq = seq
-                best_op = str(pdf["op"].loc[i])
-                nt = pdf["n_tok"].loc[i]
-                best_ntok = None if pd.isna(nt) else int(nt)
+            op = str(pdf["op"].loc[i])
+            nt = pdf["n_tok"].loc[i]
+            ntok = None if pd.isna(nt) else int(nt)
+            if seq > best_seq or (
+                seq == best_seq and rank(op, ntok) > rank(best_op, best_ntok)
+            ):
+                best_seq, best_op, best_ntok = seq, op, ntok
                 changed = True
         if changed:
             state.update((best_seq, best_op, best_ntok))

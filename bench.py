@@ -188,7 +188,9 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
         qs = entry_mod.queries()
-        repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
+        # clamped: 0/negative would IndexError on the median pick (use
+        # SPARK_GRAFT_SKIP_QUERIES=1 to skip query timing entirely)
+        repeats = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3")))
 
         def run_once(fn) -> float:
             t0 = time.monotonic()

@@ -384,3 +384,62 @@ def test_expire_snapshots_bounds_metadata_across_1000_epochs(spark, tmp_path):
     assert table.state().count() == want
     # epoch ledger still exact: replaying any old epoch skips
     assert table.has_epoch("e-3") and table.has_epoch("seed")
+
+
+def test_dup_clusters_no_false_warning_when_converging_on_last_round(spark):
+    """diameter == max_iter converges ON the final round; the verify-only
+    probe must suppress the warning (ops alerting keyed on it)."""
+    pairs = spark.createDataFrame([("a", "b")], ["a", "b"])  # diameter 1
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = dd.dup_clusters(pairs, max_iter=1).collect()
+    assert not [w for w in caught if "did not converge" in str(w.message)]
+    assert {(r.doc_id, r.cluster) for r in out} == {("a", "a"), ("b", "a")}
+
+
+def test_stateful_lww_equal_seq_tiebreak_across_chunks_and_state():
+    """A large group arrives as MULTIPLE Arrow chunks; equal-seq winners
+    must not depend on which chunk a row landed in, nor on carried state
+    from an earlier micro-batch."""
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.stateful import (
+        _update_fn,
+    )
+
+    r_lo = {"doc_id": "k", "seq": 9, "op": "insert", "n_tok": 3}
+    r_hi = {"doc_id": "k", "seq": 9, "op": "update", "n_tok": 1}  # update > insert
+    winners = []
+    for order in ([r_lo, r_hi], [r_hi, r_lo]):
+        state = _FakeState()
+        chunks = [pd.DataFrame([r]) for r in order]  # one row per chunk
+        out = list(_update_fn(1000)(("k",), iter(chunks), state))
+        winners.append(state.get)
+    assert winners[0] == winners[1] == (9, "update", 1), winners
+    # cross-micro-batch: state carries the loser; the later batch's
+    # equal-seq higher-rank event must still win
+    state = _FakeState()
+    list(_update_fn(1000)(("k",), iter([pd.DataFrame([r_lo])]), state))
+    out = list(_update_fn(1000)(("k",), iter([pd.DataFrame([r_hi])]), state))
+    assert state.get == (9, "update", 1)
+    assert len(out) == 1  # winner advanced -> emitted
+
+
+def test_ivf_topk_small_table_centroid_residue(spark):
+    """Tables smaller than ~2*n_centroids derive centroid_mod == 1; the
+    residue must then select EVERY vector (exact search) instead of the
+    empty class id % 1 == 1 — which silently diverged from the oracle."""
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import (
+        similarity as sim,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    small = e.filter((F.col("vec_id") > 0) & (F.col("vec_id") <= 40))
+    got = sim.ivf_topk(small, qv, k=5, nprobe=4, n_centroids=32)
+    rows = got.collect()
+    # every vector is its own single-member centroid list, so nprobe
+    # bounds the candidate count: 4 rows, NOT zero (the old residue
+    # selected an empty centroid set and silently brute-forced)
+    assert len(rows) == 4
+    # the top probed centroid IS the true nearest neighbour
+    exact = sim.quantized_cosine_topk(small, qv, k=1).collect()[0]
+    assert rows[0]["vec_id"] == exact["vec_id"]
