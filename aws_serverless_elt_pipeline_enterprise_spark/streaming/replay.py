@@ -50,9 +50,6 @@ from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
     unify_schemas,
 )
 
-ENVELOPE_COLS = ("op", "seq", "batch_id")
-
-
 @dataclass
 class ReplayResult:
     epochs_applied: list[str] = field(default_factory=list)
@@ -69,6 +66,13 @@ def _quarantine_write(bad: DataFrame, quarantine_dir: str, epoch_id: str) -> Non
     redrive)."""
     path = os.path.join(quarantine_dir, f"epoch={epoch_id}")
     if os.path.exists(path):
+        return
+    # clean epochs skip the write entirely: an unconditional write costs
+    # a second full scan of the batch (the inverse filter) AND leaves an
+    # empty epoch dir that every later redrive lists and parquet-reads —
+    # at one micro-batch/sec that is ~86k empty dirs a day. isEmpty() is
+    # a limit-1 probe that short-circuits on the first reject.
+    if bad.isEmpty():
         return
     tmp = os.path.join(quarantine_dir, f".tmp-epoch={epoch_id}")
     bad.write.mode("overwrite").parquet(tmp)
@@ -225,6 +229,8 @@ def run_replay(
     quarantine_dir: str | None = None,
     max_epochs: int | None = None,
     compact_every: int | None = None,
+    dq_fail_on_corrupt: bool = False,
+    notify=None,
 ) -> ReplayResult:
     """Batch replay over epoch dirs (ordered). Resumable from any point:
     the committed-epoch set in the table manifest is the checkpoint; the
@@ -252,7 +258,10 @@ def run_replay(
             result.epochs_skipped.append(epoch_id)
             continue
         events = spark.read.parquet(path)
-        lineage = apply_epoch(table, events, epoch_id, quarantine_dir=quarantine_dir)
+        lineage = apply_epoch(
+            table, events, epoch_id, quarantine_dir=quarantine_dir,
+            dq_fail_on_corrupt=dq_fail_on_corrupt, notify=notify,
+        )
         if lineage is not None:
             result.epochs_applied.append(epoch_id)
             result.lineage.append(lineage)
@@ -326,11 +335,20 @@ def redrive_quarantine(
     quarantine_dir: str,
     table: SnapshotTable,
     fix=None,
+    epochs: list[str] | None = None,
 ) -> dict | None:
     """DLQ redrive (operator T3, reference scripts/redrive.sh): pull
     quarantined envelopes, optionally apply a ``fix(df) -> df`` repair,
     and push the now-valid rows back through the normal merge path under a
-    dedicated epoch. Rows still invalid stay quarantined."""
+    dedicated epoch. Rows still invalid stay quarantined.
+
+    Every redrive re-reads the WHOLE quarantine set by design: that is
+    what lets a corrected ``fix`` re-repair rows a buggy earlier fix
+    already pushed (the content-addressed epoch id makes re-application
+    of unchanged output a no-op skip, and the merge's seq guard makes
+    re-application of already-won rows harmless). When the quarantine
+    history is large and only fresh epochs matter, pass ``epochs`` (dir
+    names like ``epoch=stream-x-7``) to bound the read."""
     if not os.path.isdir(quarantine_dir):
         return None
     epoch_dirs = sorted(
@@ -338,26 +356,42 @@ def redrive_quarantine(
         for d in os.listdir(quarantine_dir)
         if d.startswith("epoch=") and os.path.isdir(os.path.join(quarantine_dir, d))
     )
+    if epochs is not None:
+        want = set(epochs)
+        epoch_dirs = [d for d in epoch_dirs if d in want]
     if not epoch_dirs:
         return None
-    df = spark.read.parquet(
-        *[os.path.join(quarantine_dir, d) for d in epoch_dirs]
-    ).drop("_reject_reason")
+    paths = [os.path.join(quarantine_dir, d) for d in epoch_dirs]
+    # dirs quarantined before a schema evolution store narrower types /
+    # miss columns; plain inference picks ONE arbitrary footer (narrow
+    # pick -> scan crash on the wide files, or silent column drop the
+    # other way). Unify the per-dir schemas exactly like the log read
+    # path does, then read with the explicit widest schema (missing ->
+    # NULL, narrow ints up-cast).
+    unified = None
+    for p in paths:
+        s = spark.read.parquet(p).schema
+        unified = unify_schemas(unified, s) if unified is not None else s
+    df = spark.read.schema(unified).parquet(*paths).drop("_reject_reason")
     if fix is not None:
         df = fix(df)
     # Epoch id derives from the POST-FIX content (order-independent hash
     # of EVERY column, payload included), not from the dir names or a
     # table-state counter: re-running the identical redrive is a no-op
     # skip, while a CORRECTED fix produces different rows -> different id
-    # -> applies. Hashing only the (op, doc_id, seq) envelope was a trap:
-    # a second fix that repairs just tokens/n_tok — exactly the
-    # empty_payload quarantine class — kept the same digest as the buggy
-    # first fix and was silently skipped.
+    # -> applies. Two aliasing traps live here, both hit in practice:
+    # (a) hashing only the (op, doc_id, seq) envelope aliased any two
+    # fixes differing only in payload; (b) xxhash64 over bare columns
+    # SKIPS null inputs in its seed chain, so (tokens=[1], n_tok=null)
+    # and (tokens=null, n_tok=1) hash identically (verified) — a
+    # corrected fix that moves a value between a null and non-null
+    # column would be skipped. to_json(struct(...)) encodes field names
+    # and nulls structurally, so no null-shift can alias.
     row = df.agg(
         # decimal(38,0) sum: ANSI mode errors on long overflow, and a sum
         # of 64-bit hashes overflows immediately
         F.sum(
-            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+            F.xxhash64(F.to_json(F.struct(*df.columns))).cast("decimal(38,0)")
         ).alias("h"),
         F.count(F.lit(1)).alias("n"),
     ).first()
@@ -434,6 +468,45 @@ def unified_log_schema(spark: SparkSession, log_dir: str, cache_dir: str | None 
     return schema
 
 
+def _memoized_log_schema(spark: SparkSession, log_dir: str, cache_dir: str):
+    """Closure returning the current unified log schema, memoized on the
+    batch-dir name tuple: the per-micro-batch evolution guard must be
+    O(new dirs) — listdir + a tuple compare — not a cache-file parse +
+    per-dir StructType.fromJson + unify on every trigger (O(all dirs),
+    unbounded as the log ages)."""
+    memo: dict = {"names": None, "schema": None}
+
+    def current() -> object:
+        names = tuple(os.path.basename(p) for p in list_batches(log_dir))
+        if names != memo["names"]:
+            memo["schema"] = unified_log_schema(spark, log_dir, cache_dir=cache_dir)
+            memo["names"] = names
+        return memo["schema"]
+
+    return current
+
+
+def _make_schema_guard(current_log_schema, schema, evolved: dict):
+    """Per-micro-batch evolution guard shared by the availableNow replay
+    and the continuous tail: if the log outgrew the stream's read schema,
+    set the driver-side flag (classification must not depend on exception
+    message text) and fail the micro-batch BEFORE any merge — Spark then
+    does not commit its offsets, and the caller restarts with the wider
+    schema, re-reading the failed files. Race-free because it runs
+    strictly after the source fixed the micro-batch's file list."""
+
+    def schema_guard() -> None:
+        latest = current_log_schema()
+        if latest is not None and unify_schemas(schema, latest) != schema:
+            evolved["v"] = True
+            raise SchemaEvolvedRestart(
+                f"log schema evolved beyond the stream's read schema: "
+                f"{schema.simpleString()} -> {latest.simpleString()}"
+            )
+
+    return schema_guard
+
+
 def run_replay_streaming(
     spark: SparkSession,
     log_dir: str,
@@ -452,27 +525,42 @@ def run_replay_streaming(
     with the unified (widest) schema across all batch dirs, so a mid-log
     additive column / int widening flows through (mirrors the batch
     path's unify_schemas; reference crawler policy UPDATE_IN_DATABASE,
-    glue_catalog/main.tf:77-79)."""
-    schema = unified_log_schema(spark, log_dir, cache_dir=checkpoint_dir)
-    if schema is None:
-        return  # nothing to replay yet
-    instance = _stream_instance(checkpoint_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "64")
-        .parquet(os.path.join(log_dir, "batch_*"))
-    )
-    deduped = dedup_events_stream(stream, ttl=watermark_ttl)
-    merge = _make_merge(
-        table, instance, quarantine_dir, dq_fail_on_corrupt, notify
-    )
-    q = (
-        deduped.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    glue_catalog/main.tf:77-79). A batch dir renamed into the log AFTER
+    the schema was computed but BEFORE the source's initial listing
+    would otherwise be silently narrow-read (new column nulled, epoch
+    committed — unrecoverable); the same per-micro-batch guard the
+    continuous tail uses catches that window and restarts this
+    availableNow pass with the widened schema."""
+    current_log_schema = _memoized_log_schema(spark, log_dir, checkpoint_dir)
+    while True:
+        schema = current_log_schema()
+        if schema is None:
+            return  # nothing to replay yet
+        instance = _stream_instance(checkpoint_dir)
+        evolved = {"v": False}
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "64")
+            .parquet(os.path.join(log_dir, "batch_*"))
+        )
+        deduped = dedup_events_stream(stream, ttl=watermark_ttl)
+        merge = _make_merge(
+            table, instance, quarantine_dir, dq_fail_on_corrupt, notify,
+            pre_merge_check=_make_schema_guard(current_log_schema, schema, evolved),
+        )
+        q = (
+            deduped.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            if not evolved["v"]:
+                raise
+        if not evolved["v"]:
+            return  # processed everything available under a stable schema
 
 
 def _make_merge(
@@ -555,21 +643,7 @@ def run_replay_tailing(
     evolution signal propagate."""
     import time as _time
 
-    # steady-state memo: the guard runs every micro-batch, so it must be
-    # O(new batch dirs), not O(all batch dirs). The dir-name tuple is the
-    # cache key (batch dirs are immutable once renamed in); only when it
-    # changes does the full cache-file parse + unify run.
-    memo: dict = {"names": None, "schema": None}
-
-    def current_log_schema():
-        names = tuple(os.path.basename(p) for p in list_batches(log_dir))
-        if names != memo["names"]:
-            memo["schema"] = unified_log_schema(
-                spark, log_dir, cache_dir=checkpoint_dir
-            )
-            memo["names"] = names
-        return memo["schema"]
-
+    current_log_schema = _memoized_log_schema(spark, log_dir, checkpoint_dir)
     while True:
         schema = current_log_schema()
         if schema is None:
@@ -578,22 +652,7 @@ def run_replay_tailing(
             _time.sleep(poll_interval_sec)
             continue
         instance = _stream_instance(checkpoint_dir)
-        # flag set by the guard BEFORE raising: classification of the
-        # stream's death must not depend on Spark's exception-message
-        # formatting (string matching could misread a genuine failure as
-        # an evolution restart, or vice versa). foreachBatch runs on the
-        # driver, so the flag is visible here directly.
         evolved = {"v": False}
-
-        def schema_guard(current=schema, evolved=evolved):
-            latest = current_log_schema()
-            if latest is not None and unify_schemas(current, latest) != current:
-                evolved["v"] = True
-                raise SchemaEvolvedRestart(
-                    f"log schema evolved beyond the stream's read schema: "
-                    f"{current.simpleString()} -> {latest.simpleString()}"
-                )
-
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "64")
@@ -602,7 +661,7 @@ def run_replay_tailing(
         deduped = dedup_events_stream(stream, ttl=watermark_ttl)
         merge = _make_merge(
             table, instance, quarantine_dir, dq_fail_on_corrupt, notify,
-            pre_merge_check=schema_guard,
+            pre_merge_check=_make_schema_guard(current_log_schema, schema, evolved),
         )
         q = (
             deduped.writeStream.foreachBatch(merge)

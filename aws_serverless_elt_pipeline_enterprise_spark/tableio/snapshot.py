@@ -344,10 +344,16 @@ class SnapshotTable:
         return T.StructType.fromJson(json.loads(m["schema"]))
 
     def lineage(self) -> list[dict]:
-        """Per-commit lineage rows across all versions (metrics surface)."""
+        """Per-commit lineage rows across all versions (metrics surface).
+        Only canonical ``v*.json`` names are read: a crash between
+        _commit_manifest's tmp write and os.replace leaves a
+        ``v*.json.tmp*`` orphan that must not brick the metrics surface
+        (or double-count a version if it was fully written)."""
         out = []
         mdir = os.path.join(self.root, "manifests")
         for name in sorted(os.listdir(mdir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
             with open(os.path.join(mdir, name)) as f:
                 out.append(json.load(f)["lineage"])
         return out
@@ -753,6 +759,28 @@ class SnapshotTable:
         old_m = self.manifest()
         buckets_map = {k: list(v) for k, v in old_m["buckets"].items()} if old_m else {}
         global_deltas = list(old_m.get("global_deltas", [])) if old_m else []
+        if metrics_row and metrics_row["keys_considered"] == 0:
+            # fully-quarantined / empty epoch: commit the epoch id WITHOUT
+            # growing the delta chain — a zero-row delta would still count
+            # toward read amplification and maybe_compact's trigger. The
+            # emptiness is known from the Observation the write job
+            # already ran, so this costs no extra scan (COW has the same
+            # short-circuit up front via its affected-bucket probe).
+            shutil.rmtree(commit_abs, ignore_errors=True)
+            lineage = {
+                "epoch_id": epoch_id,
+                "version": version,
+                "mode": "mor",
+                "rows_in_batch": 0,
+                "delete_rows": 0,
+            }
+            committed = self.committed_epochs()
+            committed.add(epoch_id)
+            self._commit_manifest(
+                version, schema, buckets_map, committed, lineage,
+                global_deltas=global_deltas,
+            )
+            return lineage
         global_deltas.append(commit_rel)
         lineage = {
             "epoch_id": epoch_id,

@@ -91,8 +91,15 @@ def main() -> None:
             "epochs_skipped": len(result.epochs_skipped),
         }
     elif args.streaming:
+        # quarantine_dir MUST flow through: without it the streaming
+        # merge silently drops malformed envelopes (no DLQ, nothing for
+        # a later redrive) — the batch branch below honors the same flag
         run_replay_streaming(
-            spark, args.log_dir, table, checkpoint_dir=args.checkpoint or args.table + "_ck"
+            spark,
+            args.log_dir,
+            table,
+            checkpoint_dir=args.checkpoint or args.table + "_ck",
+            quarantine_dir=args.quarantine,
         )
         summary = {"driver": "streaming"}
     else:

@@ -443,3 +443,134 @@ def test_ivf_topk_small_table_centroid_residue(spark):
     # the top probed centroid IS the true nearest neighbour
     exact = sim.quantized_cosine_topk(small, qv, k=1).collect()[0]
     assert rows[0]["vec_id"] == exact["vec_id"]
+
+
+def test_redrive_null_shift_payload_gets_new_epoch(spark, tmp_path):
+    """xxhash64 skips null inputs in its seed chain, so (tokens=[1],
+    n_tok=null) and (tokens=null, n_tok=1) hash identically over bare
+    columns (verified). The digest must disambiguate via to_json(struct)
+    or a corrected fix that moves a value across a null boundary is
+    silently skipped."""
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    bad = spark.createDataFrame(
+        [("frobnicate", "k1", 5, None, None)], EVENT_SCHEMA
+    ).withColumn("_reject_reason", F.lit("empty_payload"))
+    bad.write.parquet(str(qdir / "epoch=b0"))
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+
+    def buggy_fix(df):  # repairs n_tok only, tokens stays null
+        return df.withColumn("op", F.lit("insert")).withColumn(
+            "n_tok", F.lit(1)
+        )
+
+    def corrected_fix(df):  # value moves to tokens, n_tok stays null
+        return df.withColumn("op", F.lit("insert")).withColumn(
+            "tokens", F.array(F.lit(1))
+        )
+
+    r1 = redrive_quarantine(spark, str(qdir), table, fix=buggy_fix)
+    r2 = redrive_quarantine(spark, str(qdir), table, fix=corrected_fix)
+    assert r1 is not None and r2 is not None and not r2.get("skipped")
+    assert r2["epoch_id"] != r1["epoch_id"], "null-shift must change the digest"
+
+
+def test_redrive_reads_schema_evolved_quarantine(spark, tmp_path):
+    """Quarantine dirs written before and after a schema evolution have
+    different footers; the redrive must unify them (narrow inference
+    either crashes on the wide files or silently drops the new column)."""
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    narrow = spark.createDataFrame(
+        [("frobnicate", "k1", 1, [1], 1)], EVENT_SCHEMA
+    ).withColumn("_reject_reason", F.lit("unknown_op"))
+    narrow.write.parquet(str(qdir / "epoch=a0"))
+    wide_schema = T.StructType(
+        list(EVENT_SCHEMA.fields)
+        + [T.StructField("quality_score", T.DoubleType())]
+    )
+    wide = spark.createDataFrame(
+        [("frobnicate", "k2", 2, [2], 1, 0.75)], wide_schema
+    ).withColumn("n_tok", F.col("n_tok").cast("long")).withColumn(
+        "_reject_reason", F.lit("unknown_op")
+    )
+    wide.write.parquet(str(qdir / "epoch=b0"))
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    r = redrive_quarantine(
+        spark, str(qdir), table, fix=lambda d: d.withColumn("op", F.lit("insert"))
+    )
+    assert r is not None and not r.get("skipped")
+    rows = {r_["doc_id"]: r_ for r_ in table.state().collect()}
+    assert set(rows) == {"k1", "k2"}
+    assert rows["k2"]["quality_score"] == 0.75, "evolved column survived redrive"
+    assert rows["k1"]["quality_score"] is None
+
+
+def test_lineage_tolerates_crash_orphaned_tmp_manifest(spark, tmp_path):
+    import os
+
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        apply_epoch,
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    df = spark.createDataFrame([("insert", "a", 1, [1], 1)], EVENT_SCHEMA)
+    apply_epoch(table, df, "e0")
+    # crash window artifact: partial manifest tmp
+    with open(os.path.join(table.root, "manifests", "v000001.json.tmpdead"), "w") as f:
+        f.write('{"partial')
+    rows = table.lineage()
+    assert len(rows) == 1 and rows[0]["epoch_id"] == "e0"
+
+
+def test_mor_empty_epoch_does_not_grow_delta_chain(spark, tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        apply_epoch,
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    df = spark.createDataFrame([("insert", "a", 1, [1], 1)], EVENT_SCHEMA)
+    apply_epoch(table, df, "e0")
+    all_bad = spark.createDataFrame(
+        [("frobnicate", "b", 2, None, None)], EVENT_SCHEMA
+    )
+    apply_epoch(table, all_bad, "e1", quarantine_dir=str(tmp_path / "q"))
+    m = table.manifest()
+    assert len(m["global_deltas"]) == 1, "empty epoch must not append a delta"
+    assert table.has_epoch("e1"), "but the epoch id IS committed (idempotency)"
+    assert table.state().count() == 1
+
+
+def test_clean_epoch_writes_no_quarantine_dir(spark, tmp_path):
+    import os
+
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        apply_epoch,
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    clean = spark.createDataFrame([("insert", "a", 1, [1], 1)], EVENT_SCHEMA)
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    apply_epoch(table, clean, "e0", quarantine_dir=str(qdir))
+    assert os.listdir(qdir) == [], "no empty epoch dirs for clean batches"
+
+
+def test_run_replay_dq_gate_passthrough(spark, tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        run_replay,
+    )
+
+    spec = ChangelogSpec(
+        n_events=2_000, n_keys=200, n_batches=2, seed=5, corrupt_ntok_rate=0.05
+    )
+    log = str(tmp_path / "log")
+    generate_changelog(spark, log, spec)
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    with pytest.raises(ValueError, match="DQ gate failed"):
+        run_replay(spark, log, table, dq_fail_on_corrupt=True)
+    assert table.state().count() == 0
