@@ -682,6 +682,9 @@ _ES = "'el','la','de','que','y','en','un','es'"
 _DE = "'der','die','das','und','ist','von','ein','zu'"
 _FR = "'le','la','de','et','un','est','que','en'"
 
+# DuckDB whitespace tokenization, byte-identical to functions/text.py:words()
+_WORDS = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\r]+'), t0 -> t0 <> '')"
+
 
 def _hits(words_expr: str, lst: str) -> str:
     return f"len(list_filter({words_expr}, w -> list_contains([{lst}], w)))"
@@ -855,12 +858,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dup_groups": """
             SELECT min(doc_id) AS keeper, count(*) AS n_copies
-            FROM documents GROUP BY md5(text)
+            FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
             HAVING count(*) > 1 ORDER BY keeper
         """,
         "ngram_jaccard": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\r]+'), t0 -> t0 <> '') AS w
               FROM documents
             ), sh_all AS (
               SELECT DISTINCT doc_id, s FROM toks,
@@ -891,10 +894,10 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id, text,
                      length(text) AS n_chars_m,
-                     len(string_split_regex(trim(text), ' +')) AS n_words,
+                     len({_WORDS}) AS n_words,
                      length(text) - length(replace(text, ' ', '')) AS n_spaces,
                      len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS n_punct,
-                     {_hits("string_split_regex(trim(text), ' +')", _EN)} AS en_hits
+                     {_hits(_WORDS, _EN)} AS en_hits
               FROM documents
             )
             SELECT doc_id, n_chars_m, n_words, n_punct,
@@ -907,10 +910,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             WITH h AS (
               SELECT doc_id,
-                     {_hits("string_split_regex(trim(text), ' +')", _DE)} AS h_de,
-                     {_hits("string_split_regex(trim(text), ' +')", _EN)} AS h_en,
-                     {_hits("string_split_regex(trim(text), ' +')", _ES)} AS h_es,
-                     {_hits("string_split_regex(trim(text), ' +')", _FR)} AS h_fr
+                     {_hits(_WORDS, _DE)} AS h_de,
+                     {_hits(_WORDS, _EN)} AS h_en,
+                     {_hits(_WORDS, _ES)} AS h_es,
+                     {_hits(_WORDS, _FR)} AS h_fr
               FROM documents
             )
             SELECT doc_id,
@@ -924,7 +927,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT doc_id,
-                   len(string_split_regex(trim(text), ' +'))     AS n_ws_tokens,
+                   len(list_filter(string_split_regex(trim(text), '[ \t\n\r]+'), t0 -> t0 <> ''))     AS n_ws_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]')) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
@@ -966,7 +969,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_pairs": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\r]+'), t0 -> t0 <> '') AS w
               FROM documents
             ), sh AS (
               SELECT DISTINCT doc_id, s FROM toks,
@@ -1013,7 +1016,7 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (
               SELECT DISTINCT doc_id, u.word
               FROM documents,
-                   UNNEST(string_split_regex(trim(text), ' +')) AS u(word)
+                   UNNEST(list_filter(string_split_regex(trim(text), '[ \t\n\r]+'), t0 -> t0 <> '')) AS u(word)
             ), h AS (
               SELECT doc_id,
                      CAST(concat('0x', substr(md5(word),1,15)) AS BIGINT) AS h
@@ -1038,7 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_clusters": """
             WITH RECURSIVE toks AS (
-              SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\r]+'), t0 -> t0 <> '') AS w
               FROM documents
             ), sh_all AS (
               SELECT DISTINCT doc_id, s FROM toks,
@@ -1166,7 +1169,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(concat('0x', substr(md5(u.w),1,15)) AS BIGINT)
                        % 50257 AS token
               FROM documents,
-                   UNNEST(string_split_regex(trim(text), ' +')) AS u(w)
+                   UNNEST(list_filter(string_split_regex(trim(text), '[ \t\n\r]+'), t0 -> t0 <> '')) AS u(w)
             )
             SELECT token, count(*) AS freq FROM tok
             GROUP BY token ORDER BY freq DESC, token LIMIT 50
@@ -1180,7 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": """
             WITH RECURSIVE toks AS (
               SELECT doc_id,
-                     list_transform(string_split_regex(trim(text), ' +'),
+                     list_transform(list_filter(string_split_regex(trim(text), '[ \t\n\r]+'), t0 -> t0 <> ''),
                        w -> CAST(CAST(concat('0x', substr(md5(w),1,15))
                                       AS BIGINT) % 50257 AS INTEGER))
                        AS tokens

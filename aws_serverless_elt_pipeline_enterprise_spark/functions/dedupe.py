@@ -49,9 +49,14 @@ def _hash64(col: F.Column, hash_mode: str) -> F.Column:
 
 def exact_dup_groups(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content hash: (keeper, n_copies) for
-    groups with >1 member. One shuffle on the md5 fingerprint."""
+    groups with >1 member. One shuffle on the md5 fingerprint. NULL-text
+    docs are excluded up front: md5(NULL) is NULL and groupBy treats
+    NULLs as equal, so two unrelated extraction-failed docs would
+    otherwise report as duplicates of each other (and keep-min-id would
+    silently drop one)."""
     return (
-        df.groupBy(content_fingerprint(text).alias("fp"))
+        df.filter(F.col(text).isNotNull())
+        .groupBy(content_fingerprint(text).alias("fp"))
         .agg(F.min(key).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)
         .select("keeper", "n_copies")
@@ -264,6 +269,12 @@ def _banded(sigs: DataFrame, key: str, k: int, bands: int, hash_mode: str) -> Da
     comma-joined slice string (portable mode: injective, DuckDB-replayable
     — a 64-bit hash could, with negligible but nonzero probability, add a
     spurious candidate the oracle lacks)."""
+    if k % bands:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: the tail "
+            f"{k % bands} signature positions would silently drop from "
+            f"every band, shifting the LSH recall/precision curve"
+        )
     rows_per_band = k // bands
 
     def band_key(b: int) -> F.Column:
@@ -302,7 +313,13 @@ def minhash_lsh_candidates(
     (band_id, band_hash) bucket. The join key is the bucket — no full
     pairwise compare ever happens (the 100 TB path)."""
     sigs = minhash_signatures(df, key, text, k, n, seed, hash_mode)
-    banded = _banded(sigs, key, k, bands, hash_mode)
+    return _banded_candidates(_banded(sigs, key, k, bands, hash_mode), key)
+
+
+def _banded_candidates(banded: DataFrame, key: str) -> DataFrame:
+    """Bucket self-join over (band_id, band_hash): the candidate pairs.
+    Shared by minhash_lsh_candidates and minhash_lsh_pairs so a fix to
+    candidate generation lands once."""
     a = banded.select(F.col(key).alias("a"), "band_id", "band_hash")
     b = banded.select(F.col(key).alias("b"), "band_id", "band_hash")
     return (
@@ -359,17 +376,12 @@ def minhash_lsh_pairs(
     per-pair Jaccard estimate, computing (and persisting) the signature DF
     ONCE — the candidates stage and both sides of the estimate join reuse
     it instead of re-shingling the corpus (the two heaviest stages in the
-    round-1 bench were exactly this recomputation)."""
+    round-1 bench were exactly this recomputation). The persist lives
+    until the session drops it: a long-lived service calling this per
+    epoch should `spark.catalog.clearCache()` between rounds (bench.py
+    does) — unpersisting here would invalidate the returned lazy DF."""
     sigs = minhash_signatures(df, key, text, k, n, seed, hash_mode).persist()
-    banded = _banded(sigs, key, k, bands, hash_mode)
-    a = banded.select(F.col(key).alias("a"), "band_id", "band_hash")
-    b = banded.select(F.col(key).alias("b"), "band_id", "band_hash")
-    cand = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    cand = _banded_candidates(_banded(sigs, key, k, bands, hash_mode), key)
     return _estimate_from_sigs(cand, sigs, key, k)
 
 

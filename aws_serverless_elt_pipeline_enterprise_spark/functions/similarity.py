@@ -39,7 +39,12 @@ def l2_norm(a: F.Column) -> F.Column:
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not NaN) for zero-norm inputs: 0/0 is IEEE NaN, and Spark
+    orders NaN ABOVE every double — an all-zeros padding vector would
+    rank FIRST in every desc top-k and pass every `>= threshold` filter.
+    NULL sorts last under desc and fails threshold filters."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den != 0, dot(a, b) / den)
 
 
 def brute_force_topk(
@@ -79,6 +84,8 @@ def quantized_cosine_topk(
 
     qq = [int(math.floor(float(x) * scale)) for x in query_vec]
     nb = sum(v * v for v in qq)
+    if nb == 0:
+        raise ValueError("zero-norm query vector: cosine undefined")
     qlit = F.array(*[F.lit(v).cast("long") for v in qq])
     cv = F.transform(
         F.col(vec_col),
@@ -98,6 +105,9 @@ def quantized_cosine_topk(
                 F.transform("qv", lambda x: x * x), zero, lambda acc, x: acc + x
             ).alias("na"),
         )
+        # zero-norm rows excluded up front: their cosine is undefined and
+        # the NaN from 0/0 would sort ABOVE every real score
+        .filter(F.col("na") > 0)
         .select(
             id_col,
             "dot_q",
@@ -181,6 +191,10 @@ def ivf_topk(
     qd = (
         df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("qv"))
         .withColumn("nv", _qnorm(F.col("qv")))
+        # zero-norm vectors carry no direction: excluded from the index
+        # (as members AND as centroid candidates) — their 0/0 cosine is
+        # NaN, which Spark sorts above every real score
+        .filter(F.col("nv") > 0)
     )
     if centroid_mod is None:
         # one count at index-build time buys a C that does not grow with N
@@ -219,7 +233,13 @@ def ivf_topk(
         F.col("w.cid").alias("cid"),
     )
     # probe: the query's nprobe nearest centroids (tiny driver read)
-    qn = F.sqrt(F.lit(float(sum(v * v for v in [int(__import__("math").floor(float(x) * scale)) for x in query_vec]))))
+    qn2 = sum(
+        v * v
+        for v in [int(__import__("math").floor(float(x) * scale)) for x in query_vec]
+    )
+    if qn2 == 0:
+        raise ValueError("zero-norm query vector: cosine undefined")
+    qn = F.sqrt(F.lit(float(qn2)))
     probe = [
         r.cid
         for r in cents.withColumn(
@@ -258,11 +278,25 @@ def batch_topk_pandas(
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     n_q = len(queries)
 
+    dim = len(queries[0])
+
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def score_all(vecs: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # NULL rows stack as zeros (np.stack would crash on a 0-d object
+        # array); zero-norm rows (incl. those nulls) score -inf so they
+        # can never enter a top-k — a 0/0 NaN would rank FIRST under
+        # Spark's NaN-greatest double ordering
+        m = np.stack(
+            [
+                np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+                for v in vecs
+            ]
+        )
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        ok = norms[:, 0] > 0
+        m = np.divide(m, norms, out=np.zeros_like(m), where=norms > 0)
         sims = m @ qn.T  # (batch, n_q)
+        sims[~ok] = -np.inf
         return pd.Series(list(sims))
 
     scored = df.select(F.col(id_col), score_all(F.col(vec_col)).alias("sims"))

@@ -23,8 +23,16 @@ BPE_ISH_REGEX = "[A-Za-z]+|[0-9]"
 
 
 def words(col: str = "text") -> F.Column:
-    """Canonical whitespace tokenization: trim + split on runs of spaces."""
-    return F.split(F.trim(F.col(col)), " +")
+    """Canonical whitespace tokenization: split on runs of space / tab /
+    newline / CR, empty tokens dropped. The explicit class (not regex
+    \\s) keeps Spark (Java regex) and DuckDB (RE2) byte-identical — the
+    two dialects disagree on \\x0B membership in \\s. The empty-token
+    filter matters twice: split('') yields [''] (a phantom token that
+    made empty docs count n_words=1), and a leading newline survives
+    trim (which strips spaces only), yielding a leading ''."""
+    return F.filter(
+        F.split(F.trim(F.col(col)), "[ \t\n\r]+"), lambda w: w != ""
+    )
 
 
 def ws_token_count(col: str = "text") -> F.Column:

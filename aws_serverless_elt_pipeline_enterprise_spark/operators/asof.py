@@ -49,9 +49,18 @@ def asof_join(
     ).withColumn("_side", F.lit(1))
     l = probes.withColumn("_t", F.col(on)).withColumn("_side", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)
+    # third sort key: multiple versioned rows sharing one (key, t) —
+    # same-timestamp updates are normal in CDC — would otherwise resolve
+    # by shuffle arrival order (replay-unstable); the payload hash gives
+    # them a deterministic total order, mirroring lww.py's tiebreaker.
+    # to_json (not bare xxhash64 of fields) so null-shifted payloads
+    # cannot alias. Probes order among themselves irrelevantly (their
+    # _payload is NULL and last(ignorenulls) skips them).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_t"), F.desc("_side"))
+        .orderBy(
+            F.col("_t"), F.desc("_side"), F.xxhash64(F.to_json(F.struct("_payload")))
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last("_payload", ignorenulls=True).over(w)

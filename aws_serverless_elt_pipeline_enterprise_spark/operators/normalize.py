@@ -43,6 +43,10 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         "_reject_reason",
         F.when(F.col("doc_id").isNull(), "null_doc_id")
         .when(F.col("seq").isNull() | (F.col("seq") < 0), "bad_seq")
+        # NULL op needs its own arm: ~NULL.isin(...) is NULL (not true),
+        # so null-op rows fell through to 'empty_payload' and ops triaged
+        # a payload problem that didn't exist
+        .when(F.col("op").isNull(), "null_op")
         .when(~F.col("op").isin(*VALID_OPS), "unknown_op")
         .otherwise("empty_payload"),
     )

@@ -46,10 +46,16 @@ def run_dq_gate(
     aggs.append(F.count(F.col(key)).alias("key_count"))
     aggs.append(F.approx_count_distinct(key).alias("key_approx_distinct"))
     if check_ntok:
+        # NULL n_tok with tokens present IS a mismatch: the bare `!=`
+        # evaluates to NULL there and count_if would skip it, passing a
+        # row that violates the stated n_tok == size(tokens) invariant
         aggs.append(
             F.count_if(
                 F.col("op").isin("insert", "update")
-                & (F.col("n_tok") != F.size("tokens"))
+                & (
+                    F.col("n_tok").isNull()
+                    | (F.col("n_tok") != F.size("tokens"))
+                )
             ).alias("ntok_mismatch")
         )
     aggs.extend(extra_aggs or [])
@@ -69,7 +75,7 @@ def run_dq_gate(
 def repair_ntok(df: DataFrame) -> DataFrame:
     """Normalization option: recompute n_tok from tokens (vectorized,
     JVM-side) instead of failing the gate on corrupt counters."""
-    ntok_type = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))["n_tok"]
+    ntok_type = df.schema["n_tok"].dataType
     return df.withColumn(
         "n_tok",
         F.when(F.col("tokens").isNotNull(), F.size("tokens").cast(ntok_type)),

@@ -151,9 +151,11 @@ def _gated_observe(
     obs = Observation(f"dq_{epoch_id}_{uuid.uuid4().hex[:6]}")
     dq_aggs = [
         F.count(F.lit(1)).alias("row_count"),
+        # NULL n_tok with tokens present counts as a mismatch (a bare !=
+        # is NULL there and count_if would skip the corrupt row)
         F.count_if(
             F.col("op").isin("insert", "update")
-            & (F.col("n_tok") != F.size("tokens"))
+            & (F.col("n_tok").isNull() | (F.col("n_tok") != F.size("tokens")))
         ).alias("ntok_mismatch"),
     ]
     observed = good.observe(obs, *dq_aggs)

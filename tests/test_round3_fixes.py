@@ -574,3 +574,127 @@ def test_run_replay_dq_gate_passthrough(spark, tmp_path):
     with pytest.raises(ValueError, match="DQ gate failed"):
         run_replay(spark, log, table, dq_fail_on_corrupt=True)
     assert table.state().count() == 0
+
+
+def test_zero_norm_vectors_never_rank_in_topk(spark):
+    """0/0 cosine is IEEE NaN and Spark sorts NaN ABOVE every double, so
+    an all-zeros padding vector would occupy rank 1 in every similarity
+    entry point. Zero-norm rows must be excluded / sink to the bottom."""
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import (
+        similarity as sim,
+    )
+
+    rows = [(0, [1.0, 0.0, 1.0]), (1, [0.5, 0.5, 0.0]),
+            (2, [0.0, 0.0, 0.0]), (3, [1.0, 1.0, 1.0])]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    q = [1.0, 0.0, 1.0]
+    for fn in (sim.brute_force_topk, sim.quantized_cosine_topk):
+        got = [r.vec_id for r in fn(df, q, k=3).collect()]
+        assert 2 not in got, f"{fn.__name__} ranked the zero vector: {got}"
+        assert got[0] == 0
+    got = [r.vec_id for r in sim.ivf_topk(df, q, k=3, n_centroids=4).collect()]
+    assert 2 not in got
+    # batched path: zero-norm AND null rows sink to -inf, never crash
+    rows_n = rows + [(4, None)]
+    dfn = spark.createDataFrame(rows_n, schema)
+    got = {
+        (r.query_id, r.vec_id)
+        for r in sim.batch_topk_pandas(dfn, [q], k=3).collect()
+    }
+    assert (0, 2) not in got and (0, 4) not in got
+    with pytest.raises(ValueError, match="zero-norm query"):
+        sim.quantized_cosine_topk(df, [0.0, 0.0, 0.0], k=3)
+
+
+def test_words_whitespace_and_empty_semantics(spark):
+    """Tab/newline-separated words must tokenize (split was space-only:
+    multi-line docs got n_words=1 and wrong shingles); empty text counts
+    0 tokens, not the phantom ['']."""
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "the\nquick\tfox"), (2, ""), (3, "   "), (4, "one two")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.w, r.n) for r in df.select(
+        "doc_id", tx.words("text").alias("w"),
+        tx.ws_token_count("text").alias("n")).collect()}
+    assert got[1] == (["the", "quick", "fox"], 3)
+    assert got[2] == ([], 0)
+    assert got[3] == ([], 0)
+    assert got[4] == (["one", "two"], 2)
+
+
+def test_exact_dup_groups_ignores_null_text(spark):
+    rows = [(1, None), (2, None), (3, "same"), (4, "same")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = dd.exact_dup_groups(df).collect()
+    assert len(got) == 1 and got[0]["keeper"] == 3, (
+        "NULL-text docs must not group as duplicates of each other"
+    )
+
+
+def test_banded_rejects_indivisible_k(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="not divisible"):
+        dd.minhash_lsh_candidates(df, k=32, bands=5).collect()
+
+
+def test_null_op_quarantine_reason(spark):
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.normalize import (
+        split_quarantine,
+    )
+
+    df = spark.createDataFrame([(None, "d1", 5, [1], 1)], EVENT_SCHEMA)
+    good, bad = split_quarantine(df)
+    assert good.count() == 0
+    assert bad.first()["_reject_reason"] == "null_op", (
+        "null op must not be triaged as a payload problem"
+    )
+
+
+def test_dq_gate_counts_null_ntok_with_tokens_present(spark, tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_spark.quality.gates import (
+        run_dq_gate,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        apply_epoch,
+    )
+
+    df = spark.createDataFrame([("insert", "a", 1, [1, 2, 3], None)], EVENT_SCHEMA)
+    res = run_dq_gate(df)
+    assert not res.ok and res.metrics["ntok_mismatch"] == 1, (
+        "NULL n_tok with tokens present violates the invariant; a bare "
+        "!= predicate NULL-skips it"
+    )
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    with pytest.raises(ValueError, match="DQ gate failed"):
+        apply_epoch(table, df, "e0", dq_fail_on_corrupt=True)
+
+
+def test_asof_join_deterministic_on_equal_timestamps(spark):
+    """Two versioned rows at the same (key, t): the carried payload must
+    be the same on every run (payload-hash tiebreaker), not shuffle
+    arrival order."""
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.asof import (
+        asof_join,
+    )
+
+    probes = spark.createDataFrame([("k1", 200)], ["user_id", "t"])
+    outs = set()
+    for seed_order in range(4):
+        rows = [("k1", 100, "A"), ("k1", 100, "B")]
+        if seed_order % 2:
+            rows = rows[::-1]
+        versions = spark.createDataFrame(
+            rows, ["user_id", "t", "val"]
+        ).repartition(4 if seed_order < 2 else 2)
+        got = asof_join(
+            probes, versions, key="user_id", on="t", value_cols=["val"]
+        ).first()["asof_val"]
+        outs.add(got)
+    assert len(outs) == 1, f"nondeterministic asof payload on ties: {outs}"
