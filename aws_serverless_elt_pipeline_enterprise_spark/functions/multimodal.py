@@ -69,10 +69,13 @@ def attach_binary_from_text(df: DataFrame, text: str = "text") -> DataFrame:
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic fake feature vector: bytes of sha256 scaled to [0,1).
-    Stands in for decode->resize->embed; replace with a real codec call."""
+    """Deterministic fake feature vector: bytes of sha256 scaled to [0,1),
+    TILED to the requested dim (sha256 is 32 bytes; plain truncation made
+    feat_dim lie for dim > 32 — any feat_dim == size(features) invariant
+    check would flag every row). Stands in for decode->resize->embed."""
     h = hashlib.sha256(payload).digest()
-    return [b / 256.0 for b in h[:dim]]
+    reps = (dim + len(h) - 1) // len(h)
+    return [b / 256.0 for b in (h * reps)[:dim]]
 
 
 def extract_features(
@@ -104,7 +107,9 @@ def extract_features(
                         hashlib.sha256(bytes(p)).hexdigest() if p is not None else None
                         for p in payloads
                     ],
-                    "feat_dim": [dim if f is not None else 0 for f in feats],
+                    # actual produced length, never the requested dim: the
+                    # two must agree for feat_dim == size(features) checks
+                    "feat_dim": [len(f) if f is not None else 0 for f in feats],
                     "features": feats,
                 }
             )

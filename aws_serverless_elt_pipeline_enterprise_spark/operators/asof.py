@@ -42,7 +42,11 @@ def asof_join(
     # the payload rides as ONE struct: a struct row is never NULL even if
     # its fields are, so last(ignorenulls) matches the ROW the way a real
     # ASOF JOIN does instead of skipping past null-valued versions
-    r = versions.select(
+    # a version with no timestamp can never be "at or before" anything —
+    # a real ASOF join (and the DuckDB oracle) never matches it, but
+    # Spark's nulls-first ascending sort would have carried its payload
+    # into every probe that lacks an earlier real version
+    r = versions.filter(F.col(on).isNotNull()).select(
         F.col(key),
         F.col(on).alias("_t"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_payload"),

@@ -21,24 +21,66 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas at bracket depth 0 only — In(col, [a,b]) and
+    nested struct<...>/array<...> types must not shatter."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
-    """Filters that reached the parquet scan (predicate pushdown proof)."""
+    """Filters that reached the parquet scan (predicate pushdown proof).
+    Splits on top-level commas only: ``In(op, [insert,update])`` is ONE
+    filter, not two fragments."""
     text = explain_str(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
-        body = m.group(1).strip()
+    for m in re.finditer(r"PushedFilters: \[", text):
+        start = m.end()
+        depth, end = 1, start
+        while end < len(text) and depth:
+            if text[end] == "[":
+                depth += 1
+            elif text[end] == "]":
+                depth -= 1
+            end += 1
+        body = text[start : end - 1].strip()
         if body:
-            out.extend(p.strip() for p in body.split(","))
+            out.extend(_split_top_level(body))
     return out
 
 
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
-    """Per-scan column lists actually read (column pruning proof)."""
+    """Per-scan TOP-LEVEL column lists actually read (column pruning
+    proof). Bracket-matched, so array</map</nested-struct typed columns
+    neither truncate the capture nor leak inner fields as columns."""
     text = explain_str(df)
     scans = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
-        scans.append(cols)
+    for m in re.finditer(r"ReadSchema: struct<", text):
+        start = m.end()
+        depth, end = 1, start
+        while end < len(text) and depth:
+            if text[end] == "<":
+                depth += 1
+            elif text[end] == ">":
+                depth -= 1
+            end += 1
+        body = text[start : end - 1]
+        scans.append(
+            [c.split(":", 1)[0].strip() for c in _split_top_level(body) if c]
+        )
     return scans
 
 
@@ -56,5 +98,8 @@ def codegen_span_count(df: DataFrame) -> int:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Shuffles in the plan (simple mode: one line per operator)."""
-    return explain_str(df, "simple").count("Exchange")
+    """SHUFFLE exchanges in the plan (simple mode: one line per
+    operator). A bare substring count also matched BroadcastExchange
+    (zero shuffles) and ReusedExchange (a reused one, not a second
+    shuffle) — the token must start the operator name."""
+    return len(re.findall(r"(?:^|[^A-Za-z])Exchange[ (]", explain_str(df, "simple")))

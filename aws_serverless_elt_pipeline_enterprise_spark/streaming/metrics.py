@@ -18,10 +18,16 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 
 class LineageListener(StreamingQueryListener):
-    """Collects per-micro-batch progress rows on the driver."""
+    """Collects per-micro-batch progress rows on the driver. Bounded: a
+    long-running query at short trigger intervals would otherwise grow
+    one offset-JSON dict per micro-batch forever on the driver heap —
+    keep the newest ``max_rows`` (durable lineage lives in the table
+    manifests; this is the hot in-memory tail for dashboards/tests)."""
 
-    def __init__(self) -> None:
-        self.progress: list[dict] = []
+    def __init__(self, max_rows: int = 10_000) -> None:
+        from collections import deque
+
+        self.progress: deque = deque(maxlen=max_rows)
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
         pass
@@ -47,4 +53,4 @@ class LineageListener(StreamingQueryListener):
         pass
 
     def to_df(self, spark: SparkSession):
-        return spark.createDataFrame(self.progress) if self.progress else None
+        return spark.createDataFrame(list(self.progress)) if self.progress else None

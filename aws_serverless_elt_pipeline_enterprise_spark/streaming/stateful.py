@@ -48,26 +48,36 @@ def _update_fn(ttl_ms: int):
             )
 
         changed = False
+        saw_rows = False
         for pdf in pdfs:
+            # null-seq rows cannot participate in LWW ordering (and an
+            # all-null chunk would make the max-filter empty -> IndexError)
+            pdf = pdf[pdf["seq"].notna()]
             if pdf.empty:
                 continue
+            saw_rows = True
             # Equal-seq ties broken by the (op, n_tok) payload order
             # EVERYWHERE — within a chunk (sort of the tied rows), across
             # the multiple Arrow chunks a large group is delivered in, and
             # against the carried state — NOT by idxmax first-occurrence
             # (chunk assignment follows shuffle-fetch order, so that was
-            # replay-unstable). Mirrors the table merge's deterministic
-            # total order on (seq, payload tie-break); the exact tie KEY
-            # differs (the merge hashes with xxhash64, unavailable here)
-            # but both paths are individually replay-stable.
+            # replay-unstable). na_position='last' matches rank(): None
+            # payloads rank LOWEST both within a chunk and across chunks
+            # (with 'first' a null-n_tok row beat a non-null one inside a
+            # chunk but lost across chunks — chunk-boundary-dependent).
+            # Mirrors the table merge's deterministic total order on
+            # (seq, payload tie-break); the exact tie KEY differs (the
+            # merge hashes with xxhash64, unavailable here) but both
+            # paths are individually replay-stable.
             cand = pdf[pdf["seq"] == pdf["seq"].max()]
             if len(cand) > 1:  # vectorized: sort only the tied rows
                 cand = cand.sort_values(
-                    ["op", "n_tok"], ascending=False, na_position="first"
+                    ["op", "n_tok"], ascending=False, na_position="last"
                 )
             i = cand.index[0]
             seq = int(pdf["seq"].loc[i])
-            op = str(pdf["op"].loc[i])
+            ov = pdf["op"].loc[i]
+            op = None if pd.isna(ov) else str(ov)  # str(None) would forge 'None'
             nt = pdf["n_tok"].loc[i]
             ntok = None if pd.isna(nt) else int(nt)
             if seq > best_seq or (
@@ -75,6 +85,12 @@ def _update_fn(ttl_ms: int):
             ):
                 best_seq, best_op, best_ntok = seq, op, ntok
                 changed = True
+        if saw_rows and state.exists and not changed:
+            # duplicate / non-advancing traffic still proves the key is
+            # ALIVE: re-arm the TTL, or a key receiving only duplicates
+            # for > ttl gets evicted mid-traffic and a later stale
+            # duplicate (seq < evicted winner) re-emits a REGRESSED state
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
         if changed:
             state.update((best_seq, best_op, best_ntok))
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)

@@ -698,3 +698,112 @@ def test_asof_join_deterministic_on_equal_timestamps(spark):
         ).first()["asof_val"]
         outs.add(got)
     assert len(outs) == 1, f"nondeterministic asof payload on ties: {outs}"
+
+
+def test_stateful_lww_null_payload_tie_consistent_across_chunking():
+    """A null-n_tok row tying a non-null row at max seq must lose BOTH
+    within a chunk and across chunks (na_position='first' inverted the
+    within-chunk order); TTL re-arms on duplicate traffic; null op stays
+    None; all-null-seq chunks don't crash."""
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.stateful import (
+        _update_fn,
+    )
+
+    r_null = {"doc_id": "k", "seq": 9, "op": "update", "n_tok": None}
+    r_val = {"doc_id": "k", "seq": 9, "op": "update", "n_tok": 5}
+    winners = []
+    for chunks in (
+        [pd.DataFrame([r_null, r_val])],          # one chunk, null first
+        [pd.DataFrame([r_val, r_null])],          # one chunk, null last
+        [pd.DataFrame([r_null]), pd.DataFrame([r_val])],  # split chunks
+        [pd.DataFrame([r_val]), pd.DataFrame([r_null])],
+    ):
+        state = _FakeState()
+        list(_update_fn(1000)(("k",), iter(chunks), state))
+        winners.append(state.get)
+    assert set(winners) == {(9, "update", 5)}, winners
+    # TTL re-arm on non-advancing traffic
+    state = _FakeState()
+    list(_update_fn(1000)(("k",), iter([pd.DataFrame([r_val])]), state))
+    armed = state.ts
+    state.getCurrentWatermarkMs = lambda: 500
+    list(_update_fn(1000)(("k",), iter([pd.DataFrame([r_val])]), state))
+    assert state.ts == 1500 and state.ts != armed, (
+        "duplicate traffic must re-arm the TTL (eviction mid-traffic "
+        "lets a stale duplicate regress the served state)"
+    )
+    # null op must not become the string 'None'
+    state = _FakeState()
+    list(_update_fn(1000)(
+        ("k",), iter([pd.DataFrame([{"doc_id": "k", "seq": 1, "op": None,
+                                     "n_tok": 1}])]), state))
+    assert state.get[1] is None
+    # all-null-seq chunk: ignored, no IndexError
+    state = _FakeState()
+    out = list(_update_fn(1000)(
+        ("k",), iter([pd.DataFrame([{"doc_id": "k", "seq": None, "op": "x",
+                                     "n_tok": 1}])]), state))
+    assert out == [] and not state.exists
+
+
+def test_plan_check_helpers_handle_nested_types(spark, tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_spark.plans import checks as C
+
+    df = spark.createDataFrame(
+        [("a", [1, 2], 3, "x")],
+        "doc_id string, tokens array<int>, seq long, op string",
+    )
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    r = spark.read.parquet(p)
+    scan = r.filter(F.col("op").isin("insert", "update")).select(
+        "doc_id", "tokens", "seq"
+    )
+    cols = C.read_schema_columns(scan)
+    assert any(set(c) >= {"doc_id", "tokens", "seq"} for c in cols), (
+        f"array<> column must not truncate the ReadSchema parse: {cols}"
+    )
+    pf = C.pushed_filters(scan)
+    assert any(f.startswith("In(op") and "update" in f for f in pf), (
+        f"In(...) filter must stay whole: {pf}"
+    )
+    # broadcast joins contribute zero SHUFFLE exchanges
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        small = spark.createDataFrame([("a", 1)], "doc_id string, v int")
+        j = r.join(F.broadcast(small), "doc_id")
+        assert C.exchange_count(j) == 0, "BroadcastExchange is not a shuffle"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_asof_ignores_null_timestamp_versions(spark):
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.asof import (
+        asof_join,
+    )
+
+    probes = spark.createDataFrame([("k1", 100)], ["user_id", "t"])
+    versions = spark.createDataFrame(
+        [("k1", None, "ghost"), ("k1", 200, "late")],
+        "user_id string, t int, val string",
+    )
+    got = asof_join(
+        probes, versions, key="user_id", on="t", value_cols=["val"]
+    ).first()
+    assert got["asof_val"] is None, (
+        "a NULL-timestamp version must never match (DuckDB ASOF never "
+        "matches NULL; nulls-first sort was carrying its payload)"
+    )
+
+
+def test_multimodal_feat_dim_matches_features_len(spark):
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import (
+        multimodal as mm,
+    )
+
+    d = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    media = mm.attach_binary_from_text(d)
+    out = mm.extract_features(media, fake=True, dim=64).first()
+    assert out["feat_dim"] == 64 == len(out["features"]), (
+        "sha256 truncation made feat_dim lie for dim > 32"
+    )
