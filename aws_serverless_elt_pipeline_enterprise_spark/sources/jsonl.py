@@ -14,9 +14,12 @@ Reference semantics re-expressed (file:line cites):
   * dt partition column = event_time[:10], fallback date
     (schemas.py:90-96; the datetime.now fallback is replaced by a fixed
     default for determinism)
-  * lineage _source struct {file, line_no -> row-in-file}
-    (lambdas/ingest/app.py:119)                              ->
-    input_file_name() + monotonically increasing per-file position stand-in
+  * lineage _source struct (lambdas/ingest/app.py:119) -> {file} via
+    input_file_name(). FILE-level only, deliberately: the reference's
+    line_no comes from its row-at-a-time loop; a distributed JSON scan
+    has no stable row-in-file order once a file splits across tasks, and
+    faking one (monotonically_increasing_id) would be lineage that lies.
+    Quarantined rows carry their full original record, which locates them.
   * silver layout silver/<type>/dt=YYYY-MM-DD, <=5000 rows/file
     (lambdas/transform/app.py:65,92-108)                     ->
     partitionBy(record_type, dt) + maxRecordsPerFile
@@ -111,7 +114,11 @@ def normalize_bronze(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.when(~parsed, "corrupt_json").otherwise("unknown_record_type"),
     )
 
-    ts = F.to_timestamp(F.col("event_time"))
+    # try_to_timestamp, NOT to_timestamp: Spark 4's default ANSI mode
+    # makes to_timestamp THROW on the first unparseable string, so the
+    # fallback chain below (keep raw -> substring dt -> DEFAULT_DT) was
+    # dead code and one bad timestamp killed the whole ingest job
+    ts = F.try_to_timestamp(F.col("event_time"))
     good = (
         good.withColumn(
             "event_time",
@@ -159,6 +166,23 @@ def write_silver(
     )
 
 
+def read_silver(
+    spark: SparkSession, silver_root: str, record_type: str | None = None
+) -> DataFrame:
+    """Silver reader matching the on-disk contract: each record_type
+    partition carries EXACTLY its declared columns (per-type schemas,
+    like the reference's one-Glue-table-per-type layout). Read one type
+    for a clean per-type schema; read the root (record_type=None) for
+    cross-type queries — that needs mergeSchema, since a plain root read
+    adopts one arbitrary footer's schema and drops the other types'
+    columns."""
+    if record_type is not None:
+        return spark.read.option("basePath", silver_root).parquet(
+            f"{silver_root}/record_type={record_type}"
+        )
+    return spark.read.option("mergeSchema", "true").parquet(silver_root)
+
+
 def ingest_bronze_to_silver(
     spark: SparkSession,
     bronze_path: str,
@@ -171,10 +195,17 @@ def ingest_bronze_to_silver(
     raw = read_bronze(spark, bronze_path, multi_line=multi_line)
     good, bad = normalize_bronze(raw)
     good = good.cache()
-    write_silver(good.drop("_source"), silver_root)
+    # per-type projection BEFORE the write (reference schemas.py:30-33):
+    # each record_type partition carries exactly its declared columns —
+    # writing the union schema once would pollute every type's partition
+    # with every other type's columns as nulls
+    for rt in RECORD_SCHEMAS:
+        write_silver(project_record_type(good.drop("_source"), rt), silver_root)
     n_good = good.count()
+    bad = bad.cache()  # count + quarantine write must not re-scan bronze twice
     n_bad = bad.count()
     if quarantine_dir is not None and n_bad:
         bad.write.mode("append").json(quarantine_dir)
+    bad.unpersist()
     good.unpersist()
     return {"records": n_good, "dropped": n_bad}

@@ -117,7 +117,11 @@ def bench_replay(spark, sf: float, cpus: int) -> dict:
         seed=42,
     )
     cache = f"{work_root()}/log_{n_events}_{spec.n_keys}_{spec.n_batches}"
-    if not os.path.exists(os.path.join(cache, "batch_00007")):
+    # _SUCCESS, not just the dir: committer v2 makes partial task output
+    # visible mid-write, so a killed generation would otherwise be
+    # silently reused as a truncated log (inflating events/sec)
+    last = os.path.join(cache, f"batch_{spec.n_batches - 1:05d}", "_SUCCESS")
+    if not os.path.exists(last):
         shutil.rmtree(cache, ignore_errors=True)
         generate_changelog(spark, cache, spec)
     # sweep table dirs leaked by crashed/killed earlier runs (tmpfs is a

@@ -37,6 +37,13 @@ def run_at(cpus: int, n_events: int) -> dict:
         text=True,
         timeout=3600,
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        # surface the child's actual diagnostic (OOM, crash) instead of
+        # an IndexError on empty stdout that discards it
+        raise RuntimeError(
+            f"bench.py at local[{cpus}] failed (rc={out.returncode}); "
+            f"stderr tail:\n{out.stderr[-2000:]}"
+        )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 

@@ -66,11 +66,36 @@ def main() -> None:
         seed=42,
     )
     log = os.path.join(work, f"log_{n_events}_{spec.n_keys}_{n_batches}")
-    if not os.path.exists(os.path.join(log, f"batch_{n_batches - 1:05d}")):
+    # _SUCCESS guard: committer v2 leaves partial output visible, so a
+    # killed generation must not be reused as a truncated log
+    if not os.path.exists(
+        os.path.join(log, f"batch_{n_batches - 1:05d}", "_SUCCESS")
+    ):
         shutil.rmtree(log, ignore_errors=True)
         generate_changelog(spark, log, spec)
+    # sweep table dirs leaked by crashed earlier runs (same pid-guard
+    # pattern as bench.py — tmpfs is a shared budget and these run to
+    # double-digit GB)
+    import glob
+
+    for stale in glob.glob(os.path.join(work, "tbl_*")):
+        try:
+            os.kill(int(stale.rsplit("_", 1)[1]), 0)
+        except (ValueError, ProcessLookupError):
+            if not stale.endswith(f"_{os.getpid()}"):
+                shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            continue  # pid alive under another uid
+        else:
+            continue
     tbl = os.path.join(work, f"tbl_{os.getpid()}")
     shutil.rmtree(tbl, ignore_errors=True)
+    # any failure path (gate ValueError, depth assert, OOM) must still
+    # reclaim the multi-GB table dir — atexit covers every exit without
+    # try/finally indentation; the pid sweep above is the kill -9 backstop
+    import atexit
+
+    atexit.register(shutil.rmtree, tbl, ignore_errors=True)
     table = SnapshotTable(spark, tbl, n_buckets=32, mode="mor")
     # JVM/codegen warmup outside the timed window
     spark.read.parquet(os.path.join(log, "batch_00000")).limit(1000).count()
@@ -108,13 +133,16 @@ def main() -> None:
     final_rows = table.state().count()
     half = len(epoch_secs) // 2
     first, second = sum(epoch_secs[:half]), sum(epoch_secs[half:])
+    # n_batches=1 has no first half; None beats a ZeroDivisionError that
+    # would discard the whole completed run's results
+    ratio = round(second / first, 3) if half and first else None
     out = {
         "events": n_events,
         "epochs": n_batches,
         "wall_sec": round(wall, 1),
         "events_per_sec": round(n_events / wall, 1),
         "steady_epoch_secs": epoch_secs,
-        "second_half_over_first_half": round(second / first, 3),
+        "second_half_over_first_half": ratio,
         "max_delta_depth": max_depth,
         "minor_compactions": minors,
         "final_compact_sec": round(time.monotonic() - t_maint, 1),

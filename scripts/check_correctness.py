@@ -50,6 +50,12 @@ def main() -> int:
 
     sf = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     only = set(sys.argv[1:])
+    unknown = only - set(entry_mod.queries())
+    if unknown:
+        # a typo'd name would otherwise match nothing and exit 0 — a
+        # false-green correctness gate
+        print(f"FAIL unknown query names: {sorted(unknown)}")
+        return 1
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")

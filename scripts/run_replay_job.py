@@ -63,14 +63,21 @@ def main() -> None:
         SnapshotTable,
     )
 
-    builder = SparkSession.builder.appName("cdc-replay")
-    if not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
+    # cluster detection: spark-submit materializes --master as the
+    # spark.master java system property, which an empty SparkConf sees.
+    # (The old SPARK_SUBMIT_DEPLOY_MODE env probe never fires — submit
+    # does not export it to the Python driver — so the documented
+    # cluster recipe silently fell into the local factory, whose
+    # .master('local[32]') overrode the cluster manager.)
+    from pyspark import SparkConf
+
+    if SparkConf().contains("spark.master"):
+        spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
+    else:
         # bare-python local run: fall back to the tuned local session
         from aws_serverless_elt_pipeline_enterprise_spark.session import get_spark
 
         spark = get_spark(app_name="cdc-replay")
-    else:
-        spark = builder.getOrCreate()
 
     table = SnapshotTable(spark, args.table, n_buckets=args.n_buckets, mode=args.mode)
     if args.redrive:

@@ -58,7 +58,7 @@ def test_ingest_happy_path_counters(spark, bronze, tmp_path):
     q = str(tmp_path / "quarantine")
     counters = J.ingest_bronze_to_silver(spark, bronze, silver, quarantine_dir=q)
     assert counters == {"records": 4, "dropped": 2}
-    out = spark.read.parquet(silver)
+    out = J.read_silver(spark, silver)  # cross-type root read (mergeSchema)
     assert out.count() == 4
     # partition layout: record_type=<t>/dt=<d>
     dirs = {os.path.relpath(d, silver) for d in glob.glob(f"{silver}/record_type=*/dt=*")}
@@ -76,7 +76,7 @@ def test_ingest_happy_path_counters(spark, bronze, tmp_path):
 def test_timestamp_normalized_to_utc_z(spark, bronze, tmp_path):
     silver = str(tmp_path / "silver")
     J.ingest_bronze_to_silver(spark, bronze, silver)
-    ship = spark.read.parquet(silver).filter(F.col("record_type") == "shipments")
+    ship = J.read_silver(spark, silver, "shipments")
     times = {r.shipment_id: r.event_time for r in ship.collect()}
     # +02:00 converted to UTC and suffixed Z (reference _iso_to_iso_z)
     assert times["shp_1"] == "2024-03-01T08:00:00Z"
@@ -134,4 +134,4 @@ def test_reingest_is_append_reference_semantics(spark, bronze, tmp_path):
     silver = str(tmp_path / "silver")
     J.ingest_bronze_to_silver(spark, bronze, silver)
     J.ingest_bronze_to_silver(spark, bronze, silver)
-    assert spark.read.parquet(silver).count() == 8
+    assert J.read_silver(spark, silver).count() == 8

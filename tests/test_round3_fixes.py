@@ -807,3 +807,52 @@ def test_multimodal_feat_dim_matches_features_len(spark):
     assert out["feat_dim"] == 64 == len(out["features"]), (
         "sha256 truncation made feat_dim lie for dim > 32"
     )
+
+
+def test_silver_partitions_carry_per_type_schemas(spark, tmp_path):
+    """Each record_type partition holds EXACTLY its declared columns
+    (reference schemas.py:30-33, one-table-per-type): the union-schema
+    write polluted every type's partition with every other type's
+    columns as nulls."""
+    import json
+
+    from aws_serverless_elt_pipeline_enterprise_spark.sources import jsonl as J
+
+    bronze = tmp_path / "bronze.jsonl"
+    bronze.write_text(
+        json.dumps({"record_type": "shipments", "event_time": "2024-03-01T10:00:00Z",
+                    "shipment_id": "s1", "origin": "A", "destination": "B",
+                    "carrier": "UPS", "weight_kg": 1.5}) + "\n" +
+        json.dumps({"record_type": "invoice_lines", "event_time": "2024-03-01T10:00:00Z",
+                    "invoice_id": "i1", "sku": "k", "quantity": 2,
+                    "unit_price": 3.0, "line_total": 6.0}) + "\n"
+    )
+    silver = str(tmp_path / "silver")
+    J.ingest_bronze_to_silver(spark, str(bronze), silver)
+    ship = J.read_silver(spark, silver, "shipments")
+    assert "invoice_id" not in ship.columns and "shipment_id" in ship.columns
+    inv = J.read_silver(spark, silver, "invoice_lines")
+    assert "shipment_id" not in inv.columns and inv.first()["line_total"] == 6.0
+
+
+def test_unparseable_timestamp_does_not_crash_ingest(spark, tmp_path):
+    """ANSI mode makes to_timestamp THROW on bad strings; the fallback
+    chain (keep raw -> substring dt -> default) must actually run."""
+    import json
+
+    from aws_serverless_elt_pipeline_enterprise_spark.sources import jsonl as J
+
+    bronze = tmp_path / "bronze.jsonl"
+    bronze.write_text(
+        json.dumps({"record_type": "shipments",
+                    "event_time": "03/01/2024 10:00",  # unparseable
+                    "shipment_id": "s1", "origin": "A", "destination": "B",
+                    "carrier": "UPS", "weight_kg": 1.0}) + "\n"
+    )
+    silver = str(tmp_path / "silver")
+    counters = J.ingest_bronze_to_silver(spark, str(bronze), silver)
+    assert counters["records"] == 1
+    row = J.read_silver(spark, silver, "shipments").first()
+    assert row["event_time"] == "03/01/2024 10:00", "raw value passes through"
+    # reference fallback is the raw slice event_time[:10] (schemas.py:90-96)
+    assert str(row["dt"]) == "03/01/2024"
