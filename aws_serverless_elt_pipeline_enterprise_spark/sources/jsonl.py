@@ -177,9 +177,21 @@ def read_silver(
     adopts one arbitrary footer's schema and drops the other types'
     columns."""
     if record_type is not None:
-        return spark.read.option("basePath", silver_root).parquet(
-            f"{silver_root}/record_type={record_type}"
-        )
+        import os
+
+        path = f"{silver_root}/record_type={record_type}"
+        if not os.path.isdir(path):
+            # a type with no ingested rows has no partition dir; a
+            # per-type consumer iterating RECORD_SCHEMAS must get an
+            # empty frame with the declared schema, not PATH_NOT_FOUND.
+            # (dt surfaces as string here; a non-empty read infers the
+            # partition type from the values.)
+            schema = T.StructType(
+                list(RECORD_SCHEMAS[record_type].fields)
+                + [T.StructField("dt", T.StringType())]
+            )
+            return spark.createDataFrame([], schema)
+        return spark.read.option("basePath", silver_root).parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(silver_root)
 
 

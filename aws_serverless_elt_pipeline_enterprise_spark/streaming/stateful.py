@@ -35,8 +35,12 @@ def _update_fn(ttl_ms: int):
             # watermark passed last-change + TTL: evict (bounded state)
             state.remove()
             return
+        # None sentinel, NOT an in-band (-1, None, None): a genuine first
+        # event with seq=-1 and all-null payload would rank exactly equal
+        # to that sentinel and be silently dropped (negative seqs are
+        # legal in some CDC sources' backfill ranges)
         best_seq, best_op, best_ntok = (
-            state.get if state.exists else (-1, None, None)
+            state.get if state.exists else (None, None, None)
         )
 
         def rank(op, ntok):
@@ -80,8 +84,10 @@ def _update_fn(ttl_ms: int):
             op = None if pd.isna(ov) else str(ov)  # str(None) would forge 'None'
             nt = pdf["n_tok"].loc[i]
             ntok = None if pd.isna(nt) else int(nt)
-            if seq > best_seq or (
-                seq == best_seq and rank(op, ntok) > rank(best_op, best_ntok)
+            if (
+                best_seq is None
+                or seq > best_seq
+                or (seq == best_seq and rank(op, ntok) > rank(best_op, best_ntok))
             ):
                 best_seq, best_op, best_ntok = seq, op, ntok
                 changed = True

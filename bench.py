@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (  # noqa: E402
+    changelog_cache_ready,
+    sweep_stale_tables,
+)
 from aws_serverless_elt_pipeline_enterprise_spark.session import get_spark  # noqa: E402
 from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (  # noqa: E402
     ChangelogSpec,
@@ -117,31 +121,10 @@ def bench_replay(spark, sf: float, cpus: int) -> dict:
         seed=42,
     )
     cache = f"{work_root()}/log_{n_events}_{spec.n_keys}_{spec.n_batches}"
-    # _SUCCESS, not just the dir: committer v2 makes partial task output
-    # visible mid-write, so a killed generation would otherwise be
-    # silently reused as a truncated log (inflating events/sec)
-    last = os.path.join(cache, f"batch_{spec.n_batches - 1:05d}", "_SUCCESS")
-    if not os.path.exists(last):
+    if not changelog_cache_ready(cache, spec.n_batches):
         shutil.rmtree(cache, ignore_errors=True)
         generate_changelog(spark, cache, spec)
-    # sweep table dirs leaked by crashed/killed earlier runs (tmpfs is a
-    # shared budget; a stale 5 GB table starves later benches) — but NEVER
-    # a live concurrent bench's dir: the pid in the name must be dead
-    import glob
-
-    for stale in glob.glob(f"{work_root()}/tbl_*"):
-        try:
-            pid = int(stale.rsplit("_", 1)[1])
-            os.kill(pid, 0)  # raises if the pid is gone
-        except (ValueError, ProcessLookupError):
-            if not stale.endswith(f"_{os.getpid()}"):
-                shutil.rmtree(stale, ignore_errors=True)
-        except PermissionError:
-            # the pid EXISTS (owned by another user) — sweeping would
-            # delete a live concurrent run's table
-            continue
-        else:
-            continue  # owner alive: leave it
+    sweep_stale_tables(work_root())
     tbl_dir = f"{work_root()}/tbl_{os.getpid()}"
     shutil.rmtree(tbl_dir, ignore_errors=True)
     # n_buckets fixed (not a function of cpus) so runs at different

@@ -29,6 +29,10 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (  # noqa: E402
+    changelog_cache_ready,
+    sweep_stale_tables,
+)
 from aws_serverless_elt_pipeline_enterprise_spark.session import get_spark  # noqa: E402
 from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (  # noqa: E402
     ChangelogSpec,
@@ -66,28 +70,10 @@ def main() -> None:
         seed=42,
     )
     log = os.path.join(work, f"log_{n_events}_{spec.n_keys}_{n_batches}")
-    # _SUCCESS guard: committer v2 leaves partial output visible, so a
-    # killed generation must not be reused as a truncated log
-    if not os.path.exists(
-        os.path.join(log, f"batch_{n_batches - 1:05d}", "_SUCCESS")
-    ):
+    if not changelog_cache_ready(log, n_batches):
         shutil.rmtree(log, ignore_errors=True)
         generate_changelog(spark, log, spec)
-    # sweep table dirs leaked by crashed earlier runs (same pid-guard
-    # pattern as bench.py — tmpfs is a shared budget and these run to
-    # double-digit GB)
-    import glob
-
-    for stale in glob.glob(os.path.join(work, "tbl_*")):
-        try:
-            os.kill(int(stale.rsplit("_", 1)[1]), 0)
-        except (ValueError, ProcessLookupError):
-            if not stale.endswith(f"_{os.getpid()}"):
-                shutil.rmtree(stale, ignore_errors=True)
-        except PermissionError:
-            continue  # pid alive under another uid
-        else:
-            continue
+    sweep_stale_tables(work)
     tbl = os.path.join(work, f"tbl_{os.getpid()}")
     shutil.rmtree(tbl, ignore_errors=True)
     # any failure path (gate ValueError, depth assert, OOM) must still

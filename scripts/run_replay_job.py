@@ -63,15 +63,16 @@ def main() -> None:
         SnapshotTable,
     )
 
-    # cluster detection: spark-submit materializes --master as the
-    # spark.master java system property, which an empty SparkConf sees.
-    # (The old SPARK_SUBMIT_DEPLOY_MODE env probe never fires — submit
-    # does not export it to the Python driver — so the documented
-    # cluster recipe silently fell into the local factory, whose
-    # .master('local[32]') overrode the cluster manager.)
-    from pyspark import SparkConf
-
-    if SparkConf().contains("spark.master"):
+    # cluster detection: spark-submit's PythonRunner exports
+    # PYSPARK_GATEWAY_PORT to the driver python BEFORE user code runs —
+    # the one signal present exactly when submit owns the session config.
+    # (Two prior probes were dead code: SPARK_SUBMIT_DEPLOY_MODE is never
+    # exported to the python driver, and SparkConf().contains() reads
+    # java system properties only after a JVM gateway is attached, which
+    # is precisely not yet the case here. Both silently fell into the
+    # local factory, whose .master('local[32]') overrode the cluster
+    # manager's --master.)
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
         spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
     else:
         # bare-python local run: fall back to the tuned local session

@@ -856,3 +856,40 @@ def test_unparseable_timestamp_does_not_crash_ingest(spark, tmp_path):
     assert row["event_time"] == "03/01/2024 10:00", "raw value passes through"
     # reference fallback is the raw slice event_time[:10] (schemas.py:90-96)
     assert str(row["dt"]) == "03/01/2024"
+
+
+def test_read_silver_missing_type_returns_empty_declared_schema(spark, tmp_path):
+    import json
+
+    from aws_serverless_elt_pipeline_enterprise_spark.sources import jsonl as J
+
+    bronze = tmp_path / "bronze.jsonl"
+    bronze.write_text(
+        json.dumps({"record_type": "shipments", "event_time": "2024-03-01T10:00:00Z",
+                    "shipment_id": "s1", "origin": "A", "destination": "B",
+                    "carrier": "UPS", "weight_kg": 1.5}) + "\n"
+    )
+    silver = str(tmp_path / "silver")
+    J.ingest_bronze_to_silver(spark, str(bronze), silver)
+    te = J.read_silver(spark, silver, "tracking_events")  # never ingested
+    assert te.count() == 0
+    assert "status" in te.columns and "dt" in te.columns, (
+        "empty per-type read must carry the declared schema, not raise "
+        "PATH_NOT_FOUND"
+    )
+
+
+def test_stateful_lww_accepts_negative_first_seq():
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.stateful import (
+        _update_fn,
+    )
+
+    state = _FakeState()
+    out = list(_update_fn(1000)(
+        ("k",), iter([pd.DataFrame([{"doc_id": "k", "seq": -1, "op": None,
+                                     "n_tok": None}])]), state))
+    assert state.exists and state.get == (-1, None, None), (
+        "a first event at seq=-1 with null payload ranked equal to the "
+        "old in-band sentinel and vanished"
+    )
+    assert len(out) == 1
