@@ -492,9 +492,14 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     state as pure SQL LWW (arg_max by seq, drop keys whose last op is
     delete) — the north rule's final-state-after-replay criterion checked
     by the driver, not just by pytest."""
+    import atexit
     import shutil
     import tempfile
 
+    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
+        sweep_stale_tables,
+        work_root,
+    )
     from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
         apply_epoch,
     )
@@ -502,18 +507,15 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SnapshotTable,
     )
 
-    # the returned DataFrame reads the table lazily, so THIS run's dir
-    # must outlive the call — instead, sweep dirs left by DEAD processes
-    # (same pid-guard pattern as bench.py's table sweep)
-    base = os.path.join(tempfile.gettempdir(), "cdc_roundtrip")
+    # Table lives on the SAME tmpfs work root bench.py uses (r3's driver
+    # artifact showed a 2.8x roundtrip swing when this wrote under /tmp's
+    # ext4 while the replay bench wrote to /dev/shm). Cleanup is the
+    # shared dead-pid sweep (tbl_rt_<pid> matches benchkit's tbl_* glob)
+    # plus one atexit rmtree; the returned DataFrame reads the table
+    # lazily, so THIS run's dir must outlive the call.
+    base = work_root()
     os.makedirs(base, exist_ok=True)
-    for stale in os.listdir(base):
-        try:
-            os.kill(int(stale), 0)
-        except (ValueError, ProcessLookupError):
-            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
-        except PermissionError:
-            pass  # pid ALIVE under another uid — its table dir must survive
+    sweep_stale_tables(base)
 
     ev = _t(spark, sf_dir, "events")
     chg = ev.select(
@@ -528,13 +530,8 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tokens"),
         F.when(F.col("event_type") != "error", F.lit(1)).alias("n_tok"),
     )
-    proc_dir = os.path.join(base, str(os.getpid()))
+    proc_dir = os.path.join(base, f"tbl_rt_{os.getpid()}")
     os.makedirs(proc_dir, exist_ok=True)
-    # the returned DataFrame reads the table lazily, so the dir must live
-    # until the driver has collected — clean at interpreter exit; the
-    # dead-pid sweep above remains the backstop for kill -9
-    import atexit
-
     atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
     root = tempfile.mkdtemp(dir=proc_dir)
     table = SnapshotTable(
@@ -1130,10 +1127,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_ivf_topk": f"""
             WITH v AS (
-              SELECT vec_id,
-                     list_transform(embedding,
-                       x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS q
-              FROM embeddings WHERE vec_id <> 0
+              -- mirrors the engine's zero-norm exclusion (nv > 0): a
+              -- directionless vector is neither an index member nor a
+              -- centroid candidate, and the derived residue below counts
+              -- the FILTERED set on both sides
+              SELECT vec_id, q FROM (
+                SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS q
+                FROM embeddings WHERE vec_id <> 0
+              ) WHERE list_sum(list_transform(q, x -> x * x)) > 0
             ), qv AS (
               SELECT list_transform(embedding,
                        x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS q
@@ -1188,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
                                       AS BIGINT) % 50257 AS INTEGER))
                        AS tokens
               FROM documents
+              WHERE text IS NOT NULL
             ), r AS (
               SELECT doc_id,
                      CAST(CAST(concat('0x',

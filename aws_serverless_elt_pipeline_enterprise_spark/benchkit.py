@@ -9,6 +9,21 @@ import os
 import shutil
 
 
+def work_root() -> str:
+    """Scratch root: tmpfs by default (SPARK_GRAFT_TMPFS=0 opts out). A
+    single local disk (~800 MB/s here) is a SHARED resource that cannot
+    scale with parallelism, whereas on a real cluster both HDFS/S3 and
+    shuffle bandwidth scale with executor count — tmpfs is the honest
+    single-box stand-in for that (documented in BENCH.md). Lives here
+    (not bench.py) so the driver-run roundtrip query and every bench
+    script put their tables on the SAME root — the r3 driver artifact
+    showed a 2.8x swing when the roundtrip wrote to /tmp while the bench
+    wrote to /dev/shm."""
+    if os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0" and os.path.isdir("/dev/shm"):
+        return "/dev/shm/spark_graft_bench"
+    return "/tmp/spark_graft_bench"
+
+
 def changelog_cache_ready(log_dir: str, n_batches: int) -> bool:
     """True iff a cached changelog generation COMPLETED. The probe is the
     last batch dir's _SUCCESS marker, not mere dir existence: committer

@@ -197,8 +197,11 @@ def ivf_topk(
         .filter(F.col("nv") > 0)
     )
     if centroid_mod is None:
-        # one count at index-build time buys a C that does not grow with N
-        centroid_mod = max(1, df.count() // n_centroids)
+        # one count at index-build time buys a C that does not grow with
+        # N. Counted over qd (post zero-norm filter), NOT df: the oracle
+        # replays the residue from the indexed set, so a zero-norm vector
+        # in the data must not skew the derived mod on one side only.
+        centroid_mod = max(1, qd.count() // n_centroids)
     # residue 1 % mod, not a literal 1: when mod == 1 (table smaller than
     # ~2*n_centroids) `id % 1 == 1` matches NOTHING — the engine would
     # silently degrade to brute force while an oracle replaying the

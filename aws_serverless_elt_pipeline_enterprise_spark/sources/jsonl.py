@@ -179,19 +179,22 @@ def read_silver(
     if record_type is not None:
         import os
 
+        # one declared schema for BOTH branches: dt is always a string
+        # (partition type inference would otherwise turn yyyy-MM-dd dirs
+        # into DateType on a non-empty read while the empty-type fallback
+        # declares string — the same consumer would see two dtypes and
+        # unions across them would fail or silently cast)
+        schema = T.StructType(
+            list(RECORD_SCHEMAS[record_type].fields)
+            + [T.StructField("dt", T.StringType())]
+        )
         path = f"{silver_root}/record_type={record_type}"
         if not os.path.isdir(path):
             # a type with no ingested rows has no partition dir; a
             # per-type consumer iterating RECORD_SCHEMAS must get an
-            # empty frame with the declared schema, not PATH_NOT_FOUND.
-            # (dt surfaces as string here; a non-empty read infers the
-            # partition type from the values.)
-            schema = T.StructType(
-                list(RECORD_SCHEMAS[record_type].fields)
-                + [T.StructField("dt", T.StringType())]
-            )
+            # empty frame with the declared schema, not PATH_NOT_FOUND
             return spark.createDataFrame([], schema)
-        return spark.read.option("basePath", silver_root).parquet(path)
+        return spark.read.schema(schema).option("basePath", silver_root).parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(silver_root)
 
 

@@ -115,7 +115,7 @@ def _notify_gate_failure(
     mask the gate failure itself."""
     import time as _time
 
-    ndir = os.path.join(table.root, "notifications.jsonl")
+    npath = os.path.join(table.root, "notifications.jsonl")
     rec = {
         "epoch_id": epoch_id,
         "event": "dq_gate_failed",
@@ -123,8 +123,15 @@ def _notify_gate_failure(
         "metrics": {k: int(v) for k, v in metrics.items()},
         "wall_time": _time.time(),
     }
-    with open(ndir, "a") as f:
-        f.write(json.dumps(rec) + "\n")
+    # one os.write on an O_APPEND fd: POSIX appends the whole buffer
+    # atomically, so two concurrent streaming drivers notifying on the
+    # same table cannot interleave partial lines in the JSONL a poller
+    # tails (buffered open('a').write gives no such guarantee)
+    fd = os.open(npath, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+    try:
+        os.write(fd, (json.dumps(rec) + "\n").encode())
+    finally:
+        os.close(fd)
     if notify is not None:
         try:
             notify(epoch_id, failures, dict(metrics))

@@ -979,7 +979,10 @@ class SnapshotTable:
                 os.remove(os.path.join(mdir, name))
                 out["removed_manifests"].append(name)
         cdir = os.path.join(self.root, "commits")
-        for d in os.listdir(cdir):
+        # a table whose only committed epochs were empty has manifests but
+        # no commits dir (the empty-batch path commits a manifest without
+        # ever writing commit data) — nothing to expire there
+        for d in os.listdir(cdir) if os.path.isdir(cdir) else []:
             rel = os.path.join("commits", d)
             if rel not in live:
                 shutil.rmtree(os.path.join(cdir, d))
@@ -998,6 +1001,9 @@ class SnapshotTable:
         )
         removed = []
         cdir = os.path.join(self.root, "commits")
+        # same empty-epochs-only guard as expire_snapshots
+        if not os.path.isdir(cdir):
+            return removed
         for d in os.listdir(cdir):
             rel = os.path.join("commits", d)
             if rel not in live:

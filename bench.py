@@ -28,6 +28,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (  # noqa: E402
     changelog_cache_ready,
     sweep_stale_tables,
+    work_root,
 )
 from aws_serverless_elt_pipeline_enterprise_spark.session import get_spark  # noqa: E402
 from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (  # noqa: E402
@@ -92,17 +93,6 @@ def sf_of(sf_dir: str) -> float:
         return float(base.replace("sf", ""))
     except ValueError:
         return 0.1
-
-
-def work_root() -> str:
-    """Scratch root: tmpfs by default (SPARK_GRAFT_TMPFS=0 opts out). A
-    single local disk (~800 MB/s here) is a SHARED resource that cannot
-    scale with parallelism, whereas on a real cluster both HDFS/S3 and
-    shuffle bandwidth scale with executor count — tmpfs is the honest
-    single-box stand-in for that (documented in BENCH.md)."""
-    if os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0" and os.path.isdir("/dev/shm"):
-        return "/dev/shm/spark_graft_bench"
-    return "/tmp/spark_graft_bench"
 
 
 def bench_replay(spark, sf: float, cpus: int) -> dict:
