@@ -1,0 +1,84 @@
+"""Round-4 regressions: as-of hot-key slicing, quarantine retention,
+IVF materialized index, and the ADVICE fixes."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _asof_fixture(spark, n_hot=1200, n_cold_keys=25, rows_per_cold=8):
+    """90%-one-key skew: versions and probes on one hot key (with
+    same-timestamp version ties and probes before any version), a tail
+    of cold keys, and a null-key pair."""
+    rows = []
+    # hot key: versions at t=10,20,... with duplicate-timestamp pairs
+    for i in range(n_hot):
+        t = 10 + (i // 2) * 10  # every timestamp appears twice (tie)
+        rows.append(Row(kind="v", k="hot", t=t, val=i))
+    probes = []
+    for i in range(n_hot // 2):
+        # probes hit before-first, exactly-on, and between timestamps
+        probes.append(Row(kind="p", k="hot", t=5 + i * 10, val=None))
+    for c in range(n_cold_keys):
+        for i in range(rows_per_cold):
+            rows.append(Row(kind="v", k=f"c{c}", t=i * 7, val=1000 * c + i))
+            probes.append(Row(kind="p", k=f"c{c}", t=i * 7 + 3, val=None))
+    rows.append(Row(kind="v", k=None, t=1, val=-1))
+    probes.append(Row(kind="p", k=None, t=2, val=None))
+    df = spark.createDataFrame(rows + probes)
+    versions = df.filter(F.col("kind") == "v").drop("kind")
+    probe_df = df.filter(F.col("kind") == "p").drop("kind", "val")
+    return probe_df, versions
+
+
+def _collect_asof(probe_df, versions, **kw):
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.asof import asof_join
+
+    out = asof_join(probe_df, versions, key="k", on="t", value_cols=["val"], **kw)
+    return sorted(
+        [(r["k"], r["t"], r["asof_val"]) for r in out.collect()],
+        key=lambda x: (x[0] or "", x[1]),
+    )
+
+
+def test_asof_hot_key_slicing_matches_single_window(spark):
+    """The sliced hot-key path must be row-identical to the unmitigated
+    single-window carry on a 90%-one-key fixture, including ties,
+    before-first-version probes, and the null-key group."""
+    probe_df, versions = _asof_fixture(spark)
+    base = _collect_asof(probe_df, versions, hot_threshold=None)
+    sliced = _collect_asof(probe_df, versions, hot_threshold=50, n_slices=8)
+    assert sliced == base
+    # explicit hot_keys skips the probe, same result
+    explicit = _collect_asof(
+        probe_df, versions, hot_threshold=50, n_slices=8, hot_keys=["hot"]
+    )
+    assert explicit == base
+
+
+def test_asof_sampled_probe_detects_hot_key(spark):
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.asof import (
+        _find_hot_keys,
+    )
+
+    probe_df, versions = _asof_fixture(spark)
+    u = versions.select("k").unionByName(probe_df.select("k"))
+    # threshold 100 -> sampled probe (fraction 0.5); hot key has ~1800
+    # rows so detection is overwhelmingly certain even sampled
+    hot = _find_hot_keys(u, "k", 100)
+    assert "hot" in hot
+    assert all(k == "hot" for k in hot if k is not None)
+
+
+def test_asof_slicing_handles_more_slices_than_versions(spark):
+    """n_slices far above the per-key row count must not break the
+    stitch (slices with zero versions get a carry-in or stay NULL)."""
+    probe_df, versions = _asof_fixture(spark, n_hot=6)
+    base = _collect_asof(probe_df, versions, hot_threshold=None)
+    sliced = _collect_asof(
+        probe_df, versions, hot_threshold=2, n_slices=64, hot_keys=["hot"]
+    )
+    assert sliced == base
