@@ -151,23 +151,27 @@ def quantized_cosine_cols(qa: F.Column, qb: F.Column) -> F.Column:
     return _qdot(qa, qb).cast("double") / (_qnorm(qa) * _qnorm(qb))
 
 
-def ivf_topk(
+def _quantize_query(query_vec, scale):
+    """Query vector quantized driver-side: the literal bigint array plus
+    its exact squared norm (caller raises if 0 — cosine undefined)."""
+    import math
+
+    qints = [int(math.floor(float(x) * scale)) for x in query_vec]
+    q = F.array(*[F.lit(v).cast("long") for v in qints])
+    return q, sum(v * v for v in qints)
+
+
+def _ivf_assign(
     df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    nprobe: int = 4,
-    n_centroids: int = 32,
-    centroid_mod: int | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    scale: int = 16384,
-) -> DataFrame:
-    """IVF-style approximate top-k: vectors are assigned to their nearest
-    centroid (one broadcast-join pass — the 'index build'); a query probes
-    only the ``nprobe`` nearest centroids' member lists. At 10^10 vectors
-    the assignment is precomputed and BUCKETED BY centroid, so the probe
-    is a partition-pruned read of nprobe/n_centroids of the table instead
-    of a full scan (brute_force_topk) — the IVF scale path.
+    n_centroids: int,
+    centroid_mod: int | None,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """The shared IVF 'index build' stage: quantized vectors (zero-norm
+    excluded), deterministic centroid sample, nearest-centroid
+    assignment. Returns (qd, cents, assign, centroid_mod).
 
     ``n_centroids`` is the scale-governing parameter: C stays FIXED as N
     grows, so the assign pass is O(N*C) — linear in N (a residue-class
@@ -177,15 +181,7 @@ def ivf_topk(
     the assign and probe stages are identical. Nearest-centroid choice is
     a partial-aggregable ``max_by`` hash/sort aggregate (map-side combine
     collapses the N*C product to N rows before any exchange) — NOT a
-    row_number window, which would shuffle and sort all N*C rows. All
-    scoring is floor-quantized integer cosine, so results are engine-exact
-    and oracle-checkable."""
-    q = F.array(
-        *[
-            F.lit(int(__import__("math").floor(float(x) * scale))).cast("long")
-            for x in query_vec
-        ]
-    )
+    row_number window, which would shuffle and sort all N*C rows."""
     # norms computed ONCE per vector/centroid; each pair then costs one
     # dot fold + a scalar divide (the norm fold per pair was the hot spot)
     qd = (
@@ -235,15 +231,12 @@ def ivf_topk(
         F.col("w.nv").alias("nv"),
         F.col("w.cid").alias("cid"),
     )
-    # probe: the query's nprobe nearest centroids (tiny driver read)
-    qn2 = sum(
-        v * v
-        for v in [int(__import__("math").floor(float(x) * scale)) for x in query_vec]
-    )
-    if qn2 == 0:
-        raise ValueError("zero-norm query vector: cosine undefined")
-    qn = F.sqrt(F.lit(float(qn2)))
-    probe = [
+    return qd, cents, assign, centroid_mod
+
+
+def _probe_centroids(cents: DataFrame, q, qn, nprobe: int) -> list:
+    """The query's nprobe nearest centroids (tiny driver read)."""
+    return [
         r.cid
         for r in cents.withColumn(
             "qcos", _qdot(F.col("cq"), q).cast("double") / (F.col("cn") * qn)
@@ -252,11 +245,9 @@ def ivf_topk(
         .limit(nprobe)
         .collect()
     ]
-    # no id hits the centroid residue class (sparse/filtered id space):
-    # degrade to brute force over all vectors (qd, not assign — assign is
-    # itself empty when there are no centroids) rather than silently
-    # returning an empty result
-    cand = assign.filter(F.col("cid").isin(probe)) if probe else qd
+
+
+def _score_topk(cand: DataFrame, q, qn, k: int, id_col: str) -> DataFrame:
     return (
         cand.withColumn(
             "score", _qdot(F.col("qv"), q).cast("double") / (F.col("nv") * qn)
@@ -265,6 +256,126 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 32,
+    centroid_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 16384,
+) -> DataFrame:
+    """IVF-style approximate top-k, ONE-SHOT form: vectors are assigned
+    to their nearest centroid (one broadcast-join pass) and the query
+    scores only the ``nprobe`` nearest centroids' member lists — all
+    within this call's plan, so the assign pass runs per query. At scale
+    the index is built ONCE with ``build_ivf_index`` (members written
+    partitioned by centroid) and queries go through ``ivf_index_topk``,
+    whose probe is a partition-pruned read of ~nprobe/n_centroids of the
+    files (plan-asserted in tests). All scoring is floor-quantized
+    integer cosine, so results are engine-exact, oracle-checkable, and
+    identical between the one-shot and materialized paths."""
+    qd, cents, assign, _ = _ivf_assign(
+        df, n_centroids, centroid_mod, id_col, vec_col, scale
+    )
+    q, qn2 = _quantize_query(query_vec, scale)
+    if qn2 == 0:
+        raise ValueError("zero-norm query vector: cosine undefined")
+    qn = F.sqrt(F.lit(float(qn2)))
+    probe = _probe_centroids(cents, q, qn, nprobe)
+    # no id hits the centroid residue class (sparse/filtered id space):
+    # degrade to brute force over all vectors (qd, not assign — assign is
+    # itself empty when there are no centroids) rather than silently
+    # returning an empty result
+    cand = assign.filter(F.col("cid").isin(probe)) if probe else qd
+    return _score_topk(cand, q, qn, k, id_col)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 32,
+    centroid_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 16384,
+) -> dict:
+    """Materialize the IVF index at ``path``: member vectors (quantized +
+    pre-normed) written PARTITIONED BY centroid id under ``members/``,
+    the tiny centroid table under ``centroids/``, and the build
+    parameters in ``meta.json``. Built once, probed many times — the
+    assign pass (the O(N*C) scan) is paid here, and ``ivf_index_topk``
+    reads only the probed centroids' partitions.
+
+    Members are repartitioned BY cid before the write so each centroid's
+    partition is one contiguous file set (at 10^10 vectors add a salt
+    column so the largest centroid is not one write task). Degenerate
+    case — no vector id in the sampled residue class — is recorded in
+    meta and the index stores all vectors unpartitioned (probe = exact
+    brute force), mirroring ivf_topk's fallback."""
+    import json as _json
+    import os as _os
+
+    qd, cents, assign, mod = _ivf_assign(
+        df, n_centroids, centroid_mod, id_col, vec_col, scale
+    )
+    degenerate = cents.limit(1).count() == 0
+    if degenerate:
+        qd.write.mode("overwrite").parquet(_os.path.join(path, "members"))
+    else:
+        (
+            assign.repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(_os.path.join(path, "members"))
+        )
+        cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    meta = {
+        "id_col": id_col,
+        "scale": scale,
+        "n_centroids": n_centroids,
+        "centroid_mod": mod,
+        "degenerate": degenerate,
+    }
+    with open(_os.path.join(path, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a materialized IVF index (``build_ivf_index``): rank the
+    centroid table (tiny driver read), then score ONLY the nprobe
+    nearest centroids' members — ``cid`` is the parquet partition
+    column, so Catalyst prunes the scan to ~nprobe/n_centroids of the
+    files (asserted via inputFiles + PartitionFilters in tests).
+    Scoring is identical to ivf_topk, so the two paths return identical
+    rows for the same build parameters."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "meta.json")) as f:
+        meta = _json.load(f)
+    id_col, scale = meta["id_col"], meta["scale"]
+    q, qn2 = _quantize_query(query_vec, scale)
+    if qn2 == 0:
+        raise ValueError("zero-norm query vector: cosine undefined")
+    qn = F.sqrt(F.lit(float(qn2)))
+    members = spark.read.parquet(_os.path.join(path, "members"))
+    if meta["degenerate"]:
+        return _score_topk(members, q, qn, k, id_col)
+    cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    probe = _probe_centroids(cents, q, qn, nprobe)
+    return _score_topk(members.filter(F.col("cid").isin(probe)), q, qn, k, id_col)
 
 
 def batch_topk_pandas(

@@ -62,6 +62,27 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Filters applied to the PARTITION columns of a file scan (partition
+    pruning proof — these eliminate whole directories before any file is
+    opened, unlike PushedFilters which run per row group)."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[", text):
+        start = m.end()
+        depth, end = 1, start
+        while end < len(text) and depth:
+            if text[end] == "[":
+                depth += 1
+            elif text[end] == "]":
+                depth -= 1
+            end += 1
+        body = text[start : end - 1].strip()
+        if body:
+            out.extend(_split_top_level(body))
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Per-scan TOP-LEVEL column lists actually read (column pruning
     proof). Bracket-matched, so array</map</nested-struct typed columns

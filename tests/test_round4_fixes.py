@@ -82,3 +82,71 @@ def test_asof_slicing_handles_more_slices_than_versions(spark):
         probe_df, versions, hot_threshold=2, n_slices=64, hot_keys=["hot"]
     )
     assert sliced == base
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_ivf_materialized_matches_oneshot(spark, sf_dir, tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import similarity as S
+
+    e = _emb(spark, sf_dir)
+    qv = list(e.filter("vec_id = 0").select("embedding").first()[0])
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(e.filter("vec_id <> 0"), idx, n_centroids=8)
+    got = S.ivf_index_topk(spark, idx, qv, k=15, nprobe=3).collect()
+    want = S.ivf_topk(
+        e.filter("vec_id <> 0"), qv, k=15, nprobe=3, n_centroids=8
+    ).collect()
+    assert [(r.vec_id, r.score) for r in got] == [(r.vec_id, r.score) for r in want]
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The probe must read only the probed centroids' partitions: a cid
+    partition filter in the plan AND inputFiles() a strict subset."""
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import similarity as S
+    from aws_serverless_elt_pipeline_enterprise_spark.plans import checks
+
+    e = _emb(spark, sf_dir)
+    qv = list(e.filter("vec_id = 0").select("embedding").first()[0])
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(e.filter("vec_id <> 0"), idx, n_centroids=8)
+    probe_df = S.ivf_index_topk(spark, idx, qv, k=15, nprobe=2)
+    assert any("cid" in f for f in checks.partition_filters(probe_df))
+    # inputFiles() ignores plan filters, so measure the files ACTUALLY
+    # read via input_file_name() on the executed pruned scan
+    members = spark.read.parquet(os.path.join(idx, "members"))
+    q, qn2 = S._quantize_query(qv, 16384)
+    qn = F.sqrt(F.lit(float(qn2)))
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    probe = S._probe_centroids(cents, q, qn, 2)
+    pruned = members.filter(F.col("cid").isin(probe))
+    files_read = pruned.select(F.input_file_name()).distinct().count()
+    total = members.select(F.input_file_name()).distinct().count()
+    n_cids = cents.count()
+    # nprobe=2 of n_cids centroid dirs, one file set per dir
+    assert files_read <= (total * 2 + n_cids - 1) // n_cids, (files_read, total)
+    assert files_read < total
+
+
+def test_ivf_index_degenerate_residue_falls_back_to_brute(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import similarity as S
+
+    rows = [(i, [float(i % 5 + 1), float(7 - i % 7)]) for i in range(2, 40, 2)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    idx = str(tmp_path / "ivf")
+    # even ids only, mod 1000 -> no id = 1 (mod 1000): degenerate index
+    meta = S.build_ivf_index(df, idx, centroid_mod=1000)
+    assert meta["degenerate"]
+    got = S.ivf_index_topk(spark, idx, [1.0, 2.0], k=5).collect()
+    want = S.ivf_topk(df, [1.0, 2.0], k=5, centroid_mod=1000).collect()
+    assert [(r.vec_id, r.score) for r in got] == [(r.vec_id, r.score) for r in want]
