@@ -1,0 +1,167 @@
+"""Iceberg TableIO backend — the SURVEY §7.0 contingency made executable.
+
+The sandbox has no Iceberg Spark runtime jar (and no network to fetch
+one), so the default MERGE target is the filesystem ``SnapshotTable``
+with Iceberg-compatible semantics. This module is the other half of the
+contract: a probe (``iceberg_available``) that detects a real runtime at
+session start, and an ``IcebergTable`` that executes the documented
+MERGE INTO (snapshot.py's merge_epoch docstring — reference parity:
+infra/terraform/modules/glue_catalog/main.tf:137-154 registers the Glue
+catalog the reference MERGEs through) against a real Iceberg catalog
+when the jar exists. tests/test_iceberg_backend.py runs the replay
+idempotency/LWW oracle against it, or skips cleanly when the probe says
+no runtime — the contingency is code, not prose.
+
+Usage (cluster with the runtime on the classpath)::
+
+    spark = (SparkSession.builder
+        .config("spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions"
+                ".IcebergSparkSessionExtensions")
+        .config("spark.sql.catalog.local",
+                "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.local.type", "hadoop")
+        .config("spark.sql.catalog.local.warehouse", "/path/wh")
+        .getOrCreate())
+    t = IcebergTable(spark, "local.db.docs", key_col="doc_id")
+    t.merge_epoch(batch_df, "epoch-0")
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEQ_COL = "_seq"
+EPOCHS_PROP = "engine.committed_epochs"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is loadable in this session's
+    JVM. A classpath probe (not a config probe): the extensions conf can
+    be set without the jar, which fails only at first use."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _q(ident: str) -> str:
+    """Backtick-quote each part of a dotted table identifier."""
+    return ".".join(f"`{p}`" for p in ident.split("."))
+
+
+class IcebergTable:
+    """MERGE-target over a real Iceberg table, same apply-epoch contract
+    as ``SnapshotTable`` (subset: ``merge_epoch`` / ``has_epoch`` /
+    ``state`` / ``committed_epochs``). The change batch is first reduced
+    key-locally (dedup + LWW via one partial-aggregable ``max_by`` — the
+    same single-shuffle reduction the filesystem backend uses), then a
+    three-arm MERGE INTO applies it with the ``seq > _seq`` idempotency
+    guard. The applied-epoch ledger rides in a table property so a
+    replayed epoch is skipped without scanning data. The property
+    update is a separate commit from the MERGE, so a crash between the
+    two leaves the epoch applied but unledgered — harmless: the replay
+    re-runs the MERGE and every row fails the ``seq > _seq`` guard
+    (the ledger is an optimization, the guard is the invariant)."""
+
+    def __init__(self, spark: SparkSession, ident: str, key_col: str = "doc_id"):
+        self.spark = spark
+        self.ident = ident
+        self.key_col = key_col
+
+    # -- ledger ------------------------------------------------------
+    def committed_epochs(self) -> set[str]:
+        try:
+            rows = self.spark.sql(
+                f"SELECT value FROM {_q(self.ident)}.properties"
+                f" WHERE key = '{EPOCHS_PROP}'"
+            ).collect()
+        except Exception:
+            return set()
+        return set(json.loads(rows[0][0])) if rows else set()
+
+    def has_epoch(self, epoch_id: str) -> bool:
+        return str(epoch_id) in self.committed_epochs()
+
+    # -- reads -------------------------------------------------------
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.ident)
+
+    def state(self) -> DataFrame:
+        return self.spark.table(self.ident).drop(SEQ_COL)
+
+    # -- merge -------------------------------------------------------
+    def _reduce(self, batch: DataFrame) -> DataFrame:
+        """Key-local dedup + LWW: one row per key, winner by (seq, then
+        op+payload hash as the deterministic equal-seq tie-break —
+        mirrors SnapshotTable's total order so both backends pick the
+        same winners on pathological inputs)."""
+        payload = [c for c in batch.columns if c not in ("op", "seq")]
+        tie = F.xxhash64(
+            F.to_json(F.struct(*[c for c in payload if c != self.key_col], "op"))
+        )
+        w_cols = [c for c in batch.columns if c != self.key_col]
+        return (
+            batch.groupBy(self.key_col)
+            .agg(
+                F.max_by(
+                    F.struct(*w_cols), F.struct(F.col("seq"), tie)
+                ).alias("w")
+            )
+            .select(self.key_col, *[F.col(f"w.{c}").alias(c) for c in w_cols])
+        )
+
+    def merge_epoch(self, batch: DataFrame, epoch_id: str) -> dict:
+        """Apply one change batch (columns: op/seq/payload...) as one
+        Iceberg MERGE. Replaying a committed epoch is a no-op (ledger
+        check), and even without the ledger the ``seq > _seq`` guard
+        makes the MERGE itself idempotent."""
+        epoch_id = str(epoch_id)
+        ledger = self.committed_epochs()
+        if epoch_id in ledger:
+            return {"epoch_id": epoch_id, "skipped": True}
+        reduced = self._reduce(batch)
+        payload = [
+            c for c in reduced.columns if c not in ("op", "seq")
+        ]
+        if not self.exists():
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in reduced.schema.fields
+                if f.name in payload
+            )
+            self.spark.sql(
+                f"CREATE TABLE {_q(self.ident)} ({cols}, `{SEQ_COL}` BIGINT)"
+                f" USING iceberg"
+            )
+        reduced.createOrReplaceTempView("__merge_batch")
+        set_cols = ", ".join(
+            f"t.`{c}` = b.`{c}`" for c in payload if c != self.key_col
+        )
+        ins_cols = ", ".join(f"`{c}`" for c in payload) + f", `{SEQ_COL}`"
+        ins_vals = ", ".join(f"b.`{c}`" for c in payload) + ", b.seq"
+        self.spark.sql(
+            f"""
+            MERGE INTO {_q(self.ident)} t
+            USING __merge_batch b
+            ON t.`{self.key_col}` = b.`{self.key_col}`
+            WHEN MATCHED AND b.op = 'delete' AND b.seq > t.`{SEQ_COL}`
+              THEN DELETE
+            WHEN MATCHED AND b.op != 'delete' AND b.seq > t.`{SEQ_COL}`
+              THEN UPDATE SET {set_cols}, t.`{SEQ_COL}` = b.seq
+            WHEN NOT MATCHED AND b.op != 'delete'
+              THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+            """
+        )
+        ledger.add(epoch_id)
+        self.spark.sql(
+            f"ALTER TABLE {_q(self.ident)} SET TBLPROPERTIES"
+            f" ('{EPOCHS_PROP}' = '{json.dumps(sorted(ledger))}')"
+        )
+        return {"epoch_id": epoch_id, "skipped": False}
