@@ -385,20 +385,89 @@ def minhash_lsh_pairs(
     return _estimate_from_sigs(cand, sigs, key, k)
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Connected components over near-dup pairs -> (doc_id, cluster), with
-    cluster = min doc id in the component (the canonical keeper).
+def _edge_sig(edges: DataFrame) -> tuple:
+    """Cheap deterministic edge-set signature for convergence checks:
+    (count, decimal sum of pair hashes) — decimal, because an ANSI-mode
+    bigint sum of ~2^63-scale hashes overflows."""
+    r = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (r["n"], r["h"])
 
-    Min-label propagation: each round joins current labels across the
-    symmetrized edge set and keeps the per-node minimum; converges in
-    O(diameter) rounds (near-dup components are shallow — dup clusters are
-    cliques or near-cliques, so 2-3 rounds in practice). The driver-side
-    convergence probe is a limit(1) count, not a collect. Each round's
-    result is localCheckpoint'ed: iterative joins otherwise grow the
-    logical plan exponentially (the round-8 plan string alone OOMs the
-    driver). At 10^10 edges you would use reliable checkpoints and the
-    alternating large-star/small-star algorithm (Kiveris et al.) — same
-    join-shape per round, fewer rounds."""
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond'): every node connects its LARGER neighbors to the
+    minimum of its neighborhood (incl. itself). One groupBy + one join,
+    all partial-aggregable."""
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mn = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mnb"))
+        .select("a", F.least("_mnb", F.col("a")).alias("m"))
+    )
+    return (
+        sym.join(mn, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient each edge large->small; every node connects
+    its smaller neighbors (and itself) to their minimum."""
+    d = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mn = d.groupBy("u").agg(F.min("v").alias("m"))
+    joined = d.join(mn, "u")
+    out = joined.select(F.col("v").alias("a"), F.col("m").alias("b")).union(
+        mn.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def _star_components(pairs: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
+    """Alternating large-star/small-star connected components. Converges
+    in O(log^2 n) rounds on ANY graph shape — a diameter-D chain needs
+    ~log D rounds where min-label propagation needs D. Returns
+    (labels, rounds_used, converged); labels cover every node of
+    ``pairs`` with the component-min as the label."""
+    nodes = (
+        pairs.select(F.col("a").alias("node"))
+        .union(pairs.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select("a", "b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig, rounds, converged = _edge_sig(edges), 0, False
+    for rounds in range(1, max_iter + 1):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _edge_sig(edges)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    # at the fixpoint every edge is (node -> component min); nodes with
+    # no edge (roots, singletons) label themselves
+    roots = edges.groupBy("a").agg(F.min("b").alias("label"))
+    labels = (
+        nodes.join(roots, nodes["node"] == roots["a"], "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+    )
+    return labels, rounds, converged
+
+
+def _propagate(pairs: DataFrame, max_iter: int) -> tuple[DataFrame, bool]:
+    """Min-label propagation rounds; returns (labels, converged) where
+    converged means some round reported zero label changes."""
     edges = pairs.select("a", "b")
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -409,7 +478,6 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    converged = False
     for _ in range(max_iter):
         prop = sym.join(
             labels.withColumnRenamed("node", "b"), "b"
@@ -429,9 +497,63 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new
         if changed == 0:
-            converged = True
-            break
+            return labels, True
+    return labels, False
+
+
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 20, algorithm: str = "auto"
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster), with
+    cluster = min doc id in the component (the canonical keeper).
+
+    ``algorithm="auto"`` (default): min-label propagation for up to 5
+    rounds — one join + partial-agg groupBy per round, which converges
+    fastest on the clique-shaped components real near-dup clusters form
+    (measured at sf0.1: propagation ~2 rounds, star 1.4x slower) — then,
+    if still unconverged (deep chain-shaped components), falls back to
+    alternating large-star/small-star for the full budget. Worst case
+    pays 5 cheap rounds + O(log^2 n) star rounds; shallow graphs pay
+    exactly the propagation cost.
+
+    ``algorithm="star"``: alternating large-star/small-star (Kiveris et
+    al.) — O(log^2 n) rounds on ANY component shape (measured: 8 rounds
+    at diameter 100, 11 at 1000, where propagation needs D rounds); the
+    10^10-edge scale path.
+
+    ``algorithm="propagation"``: pure min-label propagation, O(diameter)
+    rounds. All modes localCheckpoint per round (iterative joins
+    otherwise grow the logical plan until the plan STRING alone OOMs
+    the driver) and warn (never silently truncate) when the budget is
+    exhausted before convergence."""
+    if algorithm == "auto":
+        labels, converged = _propagate(pairs, min(5, max_iter))
+        if converged:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster")
+            )
+        algorithm = "star"
+    if algorithm == "star":
+        labels, _, converged = _star_components(pairs, max_iter)
+        if not converged:
+            import warnings
+
+            warnings.warn(
+                f"dup_clusters: star rounds did not converge within "
+                f"{max_iter} rounds; labels are a refinement, not the "
+                f"transitive closure",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster")
+        )
+    labels, converged = _propagate(pairs, max_iter)
     if not converged:
+        edges = pairs.select("a", "b")
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         # the loop exhausted with its LAST round still changing labels —
         # but that round may itself have been the converging one. One
         # verify-only probe (join + limit(1) count, no label update)
