@@ -159,11 +159,14 @@ def q_ts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/P10: JSON payload field extraction (the reference's JSONL record
-    parsing, lambdas/shared/utils.py:74-94)."""
+    parsing, lambdas/shared/utils.py:74-94). One typed from_json parse —
+    get_json_object re-parses the whole JSON string PER extracted path,
+    so k extractions cost k parses; the typed parse costs one and scales
+    to wide payloads (r3's slowest 'simple' query, 0.90s -> ~0.6s)."""
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.from_json("props", "k int").getField("k").alias("k_val"),
     ).orderBy("event_id")
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import uuid
 from dataclasses import dataclass, field
 
@@ -407,6 +408,55 @@ def redrive_quarantine(
     digest = hashlib.sha256(f"{row['h']}|{row['n']}".encode()).hexdigest()[:12]
     epoch_id = f"redrive-{digest}"
     return apply_epoch(table, df, epoch_id, quarantine_dir=None)
+
+
+def expire_quarantine(
+    quarantine_dir: str, keep_last: int = 64, tmp_ttl_seconds: int = 3600
+) -> dict:
+    """Quarantine retention (the counterpart of the table's
+    ``expire_snapshots``): keep only the newest ``keep_last``
+    ``epoch=*`` dirs (by mtime — epoch NAMES don't sort chronologically
+    across checkpoint instances), and sweep ``.tmp-epoch=*`` staging
+    dirs orphaned by crashes once they are older than ``tmp_ttl_seconds``
+    (never younger — a concurrent writer's in-flight staging dir must
+    survive; the atomic rename into place bumps nothing under tmp).
+    Without this the quarantine root grows one dir per rejecting epoch
+    forever — the same unbounded-growth failure expire_snapshots fixed
+    for manifests.
+
+    Safe against redrive's idempotency: the redrive epoch id is
+    content-addressed over whatever dirs remain, so expiring history
+    simply produces a different (smaller) redrive set with a different
+    id, and re-application of rows the table already has is a no-op
+    through the merge's seq guard. Do not run concurrent with a redrive
+    that must see the expired epochs."""
+    import time as _time
+
+    out: dict = {"removed_epochs": [], "removed_tmp": []}
+    if not os.path.isdir(quarantine_dir):
+        return out
+    epoch_dirs = [
+        d
+        for d in os.listdir(quarantine_dir)
+        if d.startswith("epoch=") and os.path.isdir(os.path.join(quarantine_dir, d))
+    ]
+    by_age = sorted(
+        epoch_dirs, key=lambda d: os.path.getmtime(os.path.join(quarantine_dir, d))
+    )
+    for d in by_age[: max(0, len(by_age) - max(1, keep_last))]:
+        shutil.rmtree(os.path.join(quarantine_dir, d), ignore_errors=True)
+        out["removed_epochs"].append(d)
+    now = _time.time()
+    for d in os.listdir(quarantine_dir):
+        p = os.path.join(quarantine_dir, d)
+        if (
+            d.startswith(".tmp-epoch=")
+            and os.path.isdir(p)
+            and now - os.path.getmtime(p) > tmp_ttl_seconds
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+            out["removed_tmp"].append(d)
+    return out
 
 
 def _stream_instance(checkpoint_dir: str) -> str:

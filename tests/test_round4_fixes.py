@@ -220,3 +220,133 @@ def test_dup_clusters_auto_falls_back_to_star_on_deep_chain(spark):
         warnings.simplefilter("error")
         got = {r.doc_id: r.cluster for r in D.dup_clusters(chain).collect()}
     assert got == {i: 0 for i in range(201)}
+
+
+def _tiny_bmp(w=2, h=2, color=(255, 128, 0)):
+    """Uncompressed 24-bit BMP, bottom-up, row-padded to 4 bytes."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for _ in range(h):
+        row = bytearray()
+        for _ in range(w):
+            row += bytes([color[2], color[1], color[0]])  # BGR
+        row += b"\x00" * (stride - len(row))
+        px += row
+    off = 54
+    header = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    return bytes(header + info + px)
+
+
+def _tiny_wav(n_frames=800, framerate=8000):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(
+            b"".join(
+                struct.pack("<h", int(10000 * math.sin(i / 10.0)))
+                for i in range(n_frames)
+            )
+        )
+    return buf.getvalue()
+
+
+def _tiny_png(w=7, h=5):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    )
+
+
+def test_multimodal_real_decoders(spark):
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import multimodal as M
+
+    d = M.decode_real(_tiny_bmp(w=3, h=2, color=(255, 128, 0)))
+    assert (d["mime"], d["width"], d["height"]) == ("image/bmp", 3, 2)
+    w, h, r, g, b = d["features"]
+    assert (w, h) == (3.0, 2.0)
+    assert abs(r - 1.0) < 1e-6 and abs(g - 128 / 255) < 1e-6 and b == 0.0
+    d = M.decode_real(_tiny_wav(n_frames=800, framerate=8000))
+    assert d["mime"] == "audio/wav" and d["duration_ms"] == 100
+    assert d["features"][0] == 1.0 and d["features"][2] == 800.0
+    assert 0.0 < d["features"][3] < 1.0  # mean |amplitude| of the sine
+    d = M.decode_real(_tiny_png(7, 5))
+    assert (d["mime"], d["width"], d["height"]) == ("image/png", 7, 5)
+    assert M.decode_real(b"\xff\xd8\xff\xe0 jpeg-ish") is None
+
+
+def test_multimodal_real_path_through_spark(spark):
+    import pytest
+
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import multimodal as M
+
+    rows = [
+        ("bmp1", "image", _tiny_bmp(4, 3)),
+        ("wav1", "audio", _tiny_wav()),
+        ("png1", "image", _tiny_png(9, 2)),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "kind", "payload"])
+    feats = {r.media_id: r for r in M.extract_features(df, fake=False).collect()}
+    assert feats["bmp1"].feat_dim == 5 and feats["bmp1"].features[:2] == [4.0, 3.0]
+    assert feats["wav1"].feat_dim == 4
+    assert feats["png1"].features == [9.0, 2.0]
+    meta = {r.media_id: r for r in M.decode_meta(df).collect()}
+    assert (meta["bmp1"].width, meta["bmp1"].height) == (4, 3)
+    assert meta["wav1"].duration_ms == 100 and meta["wav1"].width is None
+    assert (meta["png1"].width, meta["png1"].height) == (9, 2)
+    # unsupported magic on the real path raises, never fabricates
+    bad = spark.createDataFrame(
+        [("jpg1", "image", b"\xff\xd8\xff\xe0fake")], ["media_id", "kind", "payload"]
+    )
+    with pytest.raises(Exception, match="no stdlib decoder"):
+        M.extract_features(bad, fake=False).collect()
+    # ...but decode_meta degrades to NULLs (metadata pass must not die
+    # on one exotic payload)
+    assert M.decode_meta(bad).first().mime is None
+
+
+def test_expire_quarantine_bounds_dirs_and_sweeps_stale_tmp(tmp_path):
+    import os
+    import time
+
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        expire_quarantine,
+    )
+
+    q = str(tmp_path / "quarantine")
+    os.makedirs(q)
+    for i in range(10):
+        d = os.path.join(q, f"epoch=stream-x-{i}")
+        os.makedirs(d)
+        os.utime(d, (1000 + i, 1000 + i))  # staggered mtimes, oldest first
+    fresh_tmp = os.path.join(q, ".tmp-epoch=stream-x-99")
+    os.makedirs(fresh_tmp)
+    stale_tmp = os.path.join(q, ".tmp-epoch=stream-x-0")
+    os.makedirs(stale_tmp)
+    os.utime(stale_tmp, (time.time() - 7200,) * 2)
+    out = expire_quarantine(q, keep_last=3)
+    kept = sorted(d for d in os.listdir(q) if d.startswith("epoch="))
+    assert kept == [f"epoch=stream-x-{i}" for i in (7, 8, 9)]
+    assert len(out["removed_epochs"]) == 7
+    # stale staging dir swept, in-flight (fresh) one survives
+    assert out["removed_tmp"] == [".tmp-epoch=stream-x-0"]
+    assert os.path.isdir(fresh_tmp) and not os.path.isdir(stale_tmp)
+    # idempotent + missing-dir safe
+    assert expire_quarantine(q, keep_last=3)["removed_epochs"] == []
+    assert expire_quarantine(str(tmp_path / "nope")) == {
+        "removed_epochs": [],
+        "removed_tmp": [],
+    }
