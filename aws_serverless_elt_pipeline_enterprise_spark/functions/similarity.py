@@ -168,6 +168,7 @@ def _ivf_assign(
     id_col: str,
     vec_col: str,
     scale: int,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """The shared IVF 'index build' stage: quantized vectors (zero-norm
     excluded), deterministic centroid sample, nearest-centroid
@@ -192,22 +193,31 @@ def _ivf_assign(
         # NaN, which Spark sorts above every real score
         .filter(F.col("nv") > 0)
     )
-    if centroid_mod is None:
-        # one count at index-build time buys a C that does not grow with
-        # N. Counted over qd (post zero-norm filter), NOT df: the oracle
-        # replays the residue from the indexed set, so a zero-norm vector
-        # in the data must not skew the derived mod on one side only.
-        centroid_mod = max(1, qd.count() // n_centroids)
-    # residue 1 % mod, not a literal 1: when mod == 1 (table smaller than
-    # ~2*n_centroids) `id % 1 == 1` matches NOTHING — the engine would
-    # silently degrade to brute force while an oracle replaying the
-    # assign/probe chain returns zero rows. With 1 % mod, mod == 1 makes
-    # every vector a centroid (exact search, still oracle-aligned).
-    cents = qd.filter(F.col(id_col) % centroid_mod == 1 % centroid_mod).select(
-        F.col(id_col).alias("cid"),
-        F.col("qv").alias("cq"),
-        F.col("nv").alias("cn"),
-    )
+    if centroids is not None:
+        # pre-trained centroids (train_centroids_kmeans): columns
+        # (cid, cq, cn); the assign/probe stages below are identical
+        cents = centroids
+        centroid_mod = centroid_mod or 0
+    else:
+        if centroid_mod is None:
+            # one count at index-build time buys a C that does not grow
+            # with N. Counted over qd (post zero-norm filter), NOT df:
+            # the oracle replays the residue from the indexed set, so a
+            # zero-norm vector in the data must not skew the derived mod
+            # on one side only.
+            centroid_mod = max(1, qd.count() // n_centroids)
+        # residue 1 % mod, not a literal 1: when mod == 1 (table smaller
+        # than ~2*n_centroids) `id % 1 == 1` matches NOTHING — the engine
+        # would silently degrade to brute force while an oracle replaying
+        # the assign/probe chain returns zero rows. With 1 % mod, mod ==
+        # 1 makes every vector a centroid (exact search, oracle-aligned).
+        cents = qd.filter(
+            F.col(id_col) % centroid_mod == 1 % centroid_mod
+        ).select(
+            F.col(id_col).alias("cid"),
+            F.col("qv").alias("cq"),
+            F.col("nv").alias("cn"),
+        )
     best = (
         qd.crossJoin(F.broadcast(cents))
         .withColumn(
@@ -258,6 +268,83 @@ def _score_topk(cand: DataFrame, q, qn, k: int, id_col: str) -> DataFrame:
     )
 
 
+def train_centroids_kmeans(
+    df: DataFrame,
+    n_centroids: int = 32,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 16384,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the quantized vectors, for
+    ``build_ivf_index(centroids=...)``: init = the same residue sample
+    the default index uses, then ``iters`` rounds of (cosine assign via
+    the partial-aggregable max_by, centroid = element-wise mean of
+    members re-floored onto the integer grid). Each round costs one
+    broadcast assign pass + one posexplode partial-agg (the N*d explode
+    collapses map-side to C*d rows per task before the exchange).
+
+    Determinism: member sums are exact decimal (a double sum's value
+    depends on aggregation order), so floor(sum/count) is reproducible
+    run to run — trained centroids are stable index metadata, not a
+    sample of the scheduler. Empty clusters keep their previous
+    centroid (standard Lloyd degeneracy handling)."""
+    qd = (
+        df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("qv"))
+        .withColumn("nv", _qnorm(F.col("qv")))
+        .filter(F.col("nv") > 0)
+    )
+    mod = max(1, qd.count() // n_centroids)
+    cents = qd.filter(F.col(id_col) % mod == 1 % mod).select(
+        F.col(id_col).alias("cid"),
+        F.col("qv").alias("cq"),
+        F.col("nv").alias("cn"),
+    )
+    for _ in range(iters):
+        cents = cents.localCheckpoint(eager=True)  # bound the iterated plan
+        best = (
+            qd.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "ccos",
+                _qdot(F.col("qv"), F.col("cq")).cast("double")
+                / (F.col("nv") * F.col("cn")),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct("qv", "cid"),
+                    F.struct(F.col("ccos"), (-F.col("cid")).alias("neg_cid")),
+                ).alias("w")
+            )
+            .select(F.col("w.cid").alias("cid"), F.col("w.qv").alias("qv"))
+        )
+        means = (
+            best.select("cid", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                    lambda t: F.floor(
+                        t["s"].cast("double") / t["n"].cast("double")
+                    ).cast("long"),
+                ).alias("cq")
+            )
+            .withColumn("cn", _qnorm(F.col("cq")))
+            .filter(F.col("cn") > 0)
+        )
+        # empty clusters (no members this round) keep their old centroid
+        kept = cents.join(means, "cid", "left_anti")
+        cents = means.select("cid", "cq", "cn").unionByName(
+            kept.select("cid", "cq", "cn")
+        )
+    return cents.localCheckpoint(eager=True)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -303,6 +390,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 16384,
+    centroids: DataFrame | None = None,
 ) -> dict:
     """Materialize the IVF index at ``path``: member vectors (quantized +
     pre-normed) written PARTITIONED BY centroid id under ``members/``,
@@ -310,6 +398,11 @@ def build_ivf_index(
     parameters in ``meta.json``. Built once, probed many times — the
     assign pass (the O(N*C) scan) is paid here, and ``ivf_index_topk``
     reads only the probed centroids' partitions.
+
+    ``centroids``: pre-trained (cid, cq, cn) frame, e.g. from
+    ``train_centroids_kmeans`` — better-balanced cells than the default
+    deterministic residue sample; the assign/probe machinery is
+    identical either way.
 
     Members are repartitioned BY cid before the write so each centroid's
     partition is one contiguous file set (at 10^10 vectors add a salt
@@ -321,7 +414,7 @@ def build_ivf_index(
     import os as _os
 
     qd, cents, assign, mod = _ivf_assign(
-        df, n_centroids, centroid_mod, id_col, vec_col, scale
+        df, n_centroids, centroid_mod, id_col, vec_col, scale, centroids=centroids
     )
     degenerate = cents.limit(1).count() == 0
     if degenerate:
@@ -340,6 +433,7 @@ def build_ivf_index(
         "n_centroids": n_centroids,
         "centroid_mod": mod,
         "degenerate": degenerate,
+        "training": "provided" if centroids is not None else "residue_sample",
     }
     with open(_os.path.join(path, "meta.json"), "w") as f:
         _json.dump(meta, f)

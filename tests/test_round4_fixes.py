@@ -350,3 +350,30 @@ def test_expire_quarantine_bounds_dirs_and_sweeps_stale_tmp(tmp_path):
         "removed_epochs": [],
         "removed_tmp": [],
     }
+
+
+def test_kmeans_centroid_training_deterministic_and_useful(spark, sf_dir, tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import similarity as S
+
+    e = _emb(spark, sf_dir).filter("vec_id <> 0")
+    qv = list(_emb(spark, sf_dir).filter("vec_id = 0").first()["embedding"])
+    c1 = S.train_centroids_kmeans(e, n_centroids=8, iters=2)
+    c2 = S.train_centroids_kmeans(e, n_centroids=8, iters=2)
+    # exact decimal member sums -> floor(mean) is reproducible
+    assert sorted((r.cid, list(r.cq)) for r in c1.collect()) == sorted(
+        (r.cid, list(r.cq)) for r in c2.collect()
+    )
+    idx = str(tmp_path / "ivf_km")
+    meta = S.build_ivf_index(e, idx, n_centroids=8, centroids=c1)
+    assert meta["training"] == "provided" and not meta["degenerate"]
+    exact = {r.vec_id for r in S.brute_force_topk(e, qv, k=10).collect()}
+    # probing EVERY cell must be lossless (the cells partition the set);
+    # a 3-of-8 probe keeps a reasonable floor on uniform random vectors
+    # (k-means shines on CLUSTERED data; this synthetic table is not)
+    all_cells = {
+        r.vec_id for r in S.ivf_index_topk(spark, idx, qv, k=10, nprobe=8).collect()
+    }
+    assert all_cells == exact
+    got = S.ivf_index_topk(spark, idx, qv, k=10, nprobe=3).collect()
+    assert len(got) == 10
+    assert len({r.vec_id for r in got} & exact) / 10 >= 0.3
