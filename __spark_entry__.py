@@ -614,11 +614,17 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
+        sweep_stale_tables,
         work_root,
     )
 
     idx = _IVF_INDEX_CACHE.get(sf_dir)
     if idx is None:
+        # a kill -9 leaves tbl_ivf_<pid> on tmpfs with no atexit to
+        # clean it — the shared dead-pid sweep here bounds that growth
+        # even for driver runs that execute ONLY this query
+        os.makedirs(work_root(), exist_ok=True)
+        sweep_stale_tables(work_root())
         e = _t(spark, sf_dir, "embeddings")
         idx = os.path.join(
             work_root(), f"tbl_ivf_{os.getpid()}", sf_dir.strip("/").replace("/", "_")

@@ -455,6 +455,13 @@ def _star_components(pairs: DataFrame, max_iter: int) -> tuple[DataFrame, int, b
             converged = True
             break
         sig = new_sig
+    if not converged:
+        # the budget may have ended ON the converging round (its edge
+        # set changed from the previous one but is already the
+        # fixpoint). One verify-only probe — same pattern as the
+        # propagation branch — keeps the truncation warning free of
+        # false positives for diameter-shaped == max_iter inputs.
+        converged = _edge_sig(_small_star(_large_star(edges))) == sig
     # at the fixpoint every edge is (node -> component min); nodes with
     # no edge (roots, singletons) label themselves
     roots = edges.groupBy("a").agg(F.min("b").alias("label"))

@@ -96,6 +96,8 @@ def decode_real(p: bytes) -> dict | None:
         bpp = struct.unpack_from("<H", p, 28)[0]
         comp = struct.unpack_from("<I", p, 30)[0]
         w, h = abs(w), abs(h)
+        if w > 0x7FFFFFFF or h > 0x7FFFFFFF:  # abs(-2^31) overflows Int32
+            return {"mime": "image/bmp", "features": []}
         out = {"mime": "image/bmp", "width": w, "height": h}
         stride = (w * 3 + 3) & ~3
         if bpp == 24 and comp == 0 and len(p) >= off + h * stride and w and h:
@@ -109,15 +111,28 @@ def decode_real(p: bytes) -> dict | None:
         else:
             out["features"] = [float(w), float(h)]
         return out
-    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24 and p[12:16] == b"IHDR":
         w, h = struct.unpack_from(">II", p, 16)
+        if w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+            # the PNG spec caps dims at 2^31-1; a crafted header above
+            # that would overflow the Int32 metadata columns downstream
+            return {"mime": "image/png", "features": []}
         return {"mime": "image/png", "width": w, "height": h,
                 "features": [float(w), float(h)]}
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-        with wave.open(io.BytesIO(p)) as wf:
-            n, fr = wf.getnframes(), wf.getframerate()
-            ch, sw = wf.getnchannels(), wf.getsampwidth()
-            raw = wf.readframes(min(n, 65536))
+        # valid magic does not mean decodable content: truncated files
+        # and non-PCM codecs raise from wave.open/readframes — return a
+        # recognized-but-undecodable record (empty features, no dims)
+        # instead of letting the exception kill the whole Spark task
+        try:
+            with wave.open(io.BytesIO(p)) as wf:
+                n, fr = wf.getnframes(), wf.getframerate()
+                ch, sw = wf.getnchannels(), wf.getsampwidth()
+                raw = wf.readframes(min(n, 65536))
+        except (wave.Error, EOFError, struct.error, RuntimeError):
+            # wave's chunk reader raises BARE RuntimeError on truncated
+            # chunks (wave.py Chunk.skip -> seek), not wave.Error
+            return {"mime": "audio/wav", "features": []}
         out = {
             "mime": "audio/wav",
             "duration_ms": int(n * 1000 / fr) if fr else None,

@@ -151,9 +151,12 @@ def asof_join(
     row precedes the probe).
 
     ``hot_threshold``: keys with more rows than this take the sliced
-    path (module docstring); ``None`` disables skew mitigation.
-    ``hot_keys``: explicit hot-key list, skipping the count probe (pass
-    ``[]`` to keep the probe scan out of a plan you know is uniform)."""
+    path (module docstring); ``None`` disables the detection PROBE.
+    ``hot_keys``: explicit hot-key list, skipping the count probe; an
+    explicit list is honored even with ``hot_threshold=None`` (the
+    caller asked for slicing). For the guaranteed single-window plan
+    pass ``hot_threshold=None, hot_keys=None`` (the probe off and no
+    forced keys); for a probe-free uniform plan pass ``hot_keys=[]``."""
     probe_cols = probes.columns
     # the payload rides as ONE struct: a struct row is never NULL even if
     # its fields are, so last(ignorenulls) matches the ROW the way a real

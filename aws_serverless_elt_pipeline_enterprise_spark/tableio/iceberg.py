@@ -77,13 +77,16 @@ class IcebergTable:
 
     # -- ledger ------------------------------------------------------
     def committed_epochs(self) -> set[str]:
-        try:
-            rows = self.spark.sql(
-                f"SELECT value FROM {_q(self.ident)}.properties"
-                f" WHERE key = '{EPOCHS_PROP}'"
-            ).collect()
-        except Exception:
+        # empty ONLY for a not-yet-created table; a transient metadata
+        # read failure must PROPAGATE — swallowing it here would make
+        # merge_epoch later overwrite the property with a one-epoch
+        # ledger, erasing the replay gate for every prior epoch
+        if not self.exists():
             return set()
+        rows = self.spark.sql(
+            f"SELECT value FROM {_q(self.ident)}.properties"
+            f" WHERE key = '{EPOCHS_PROP}'"
+        ).collect()
         return set(json.loads(rows[0][0])) if rows else set()
 
     def has_epoch(self, epoch_id: str) -> bool:
@@ -103,8 +106,12 @@ class IcebergTable:
         mirrors SnapshotTable's total order so both backends pick the
         same winners on pathological inputs)."""
         payload = [c for c in batch.columns if c not in ("op", "seq")]
+        # EXACTLY snapshot.py's merge tie hash (raw non-key columns +
+        # op, same xxhash64 seed chain): the two backends must compute
+        # the same total order so they commit identical winners for the
+        # same pathological equal-seq batch
         tie = F.xxhash64(
-            F.to_json(F.struct(*[c for c in payload if c != self.key_col], "op"))
+            *[F.col(c) for c in payload if c != self.key_col], F.col("op")
         )
         w_cols = [c for c in batch.columns if c != self.key_col]
         return (
@@ -141,8 +148,12 @@ class IcebergTable:
                 f" USING iceberg"
             )
         reduced.createOrReplaceTempView("__merge_batch")
-        set_cols = ", ".join(
-            f"t.`{c}` = b.`{c}`" for c in payload if c != self.key_col
+        # _seq rides in every arm, so set_clause is never empty even for
+        # a key-only schema (pure tombstone streams): a bare
+        # 'UPDATE SET , ...' is a parse error
+        set_clause = ", ".join(
+            [f"t.`{c}` = b.`{c}`" for c in payload if c != self.key_col]
+            + [f"t.`{SEQ_COL}` = b.seq"]
         )
         ins_cols = ", ".join(f"`{c}`" for c in payload) + f", `{SEQ_COL}`"
         ins_vals = ", ".join(f"b.`{c}`" for c in payload) + ", b.seq"
@@ -154,14 +165,18 @@ class IcebergTable:
             WHEN MATCHED AND b.op = 'delete' AND b.seq > t.`{SEQ_COL}`
               THEN DELETE
             WHEN MATCHED AND b.op != 'delete' AND b.seq > t.`{SEQ_COL}`
-              THEN UPDATE SET {set_cols}, t.`{SEQ_COL}` = b.seq
+              THEN UPDATE SET {set_clause}
             WHEN NOT MATCHED AND b.op != 'delete'
               THEN INSERT ({ins_cols}) VALUES ({ins_vals})
             """
         )
         ledger.add(epoch_id)
+        # single-quote escaping ('' is the SQL literal escape): an epoch
+        # id containing a quote must not break — or inject into — the
+        # statement AFTER the data was already merged
+        prop_val = json.dumps(sorted(ledger)).replace("'", "''")
         self.spark.sql(
             f"ALTER TABLE {_q(self.ident)} SET TBLPROPERTIES"
-            f" ('{EPOCHS_PROP}' = '{json.dumps(sorted(ledger))}')"
+            f" ('{EPOCHS_PROP}' = '{prop_val}')"
         )
         return {"epoch_id": epoch_id, "skipped": False}

@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (  # noqa: E402
+    work_root,
+)
 from aws_serverless_elt_pipeline_enterprise_spark.operators.asof import (  # noqa: E402
     asof_join,
 )
@@ -38,8 +41,9 @@ def main() -> None:
         (F.col("id") % 2 == 0).alias("is_probe"),
         F.col("id").alias("val"),
     )
-    base.write.mode("overwrite").parquet("/dev/shm/spark_graft_bench/asof_skew")
-    base = spark.read.parquet("/dev/shm/spark_graft_bench/asof_skew")
+    fixture = os.path.join(work_root(), "asof_skew")
+    base.write.mode("overwrite").parquet(fixture)
+    base = spark.read.parquet(fixture)
     probes = base.filter("is_probe").select("k", "t")
     versions = base.filter("NOT is_probe").select("k", "t", "val")
 

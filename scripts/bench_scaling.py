@@ -67,7 +67,7 @@ def main() -> None:
             f"local[{4 * n}]={hi_rates[-1]:,.0f} ev/s",
             flush=True,
         )
-    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    from statistics import median as med  # proper even-count median
     r_lo, r_hi = med(lo_rates), med(hi_rates)
     eff = (r_hi / r_lo) / 4
     fmt = lambda xs: ", ".join(f"{x:,.0f}" for x in xs)  # noqa: E731

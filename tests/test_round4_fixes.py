@@ -377,3 +377,58 @@ def test_kmeans_centroid_training_deterministic_and_useful(spark, sf_dir, tmp_pa
     got = S.ivf_index_topk(spark, idx, qv, k=10, nprobe=3).collect()
     assert len(got) == 10
     assert len({r.vec_id for r in got} & exact) / 10 >= 0.3
+
+
+def test_decode_real_corrupt_payloads_degrade_not_crash(spark):
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import multimodal as M
+
+    # valid RIFF/WAVE magic, garbage content: recognized-but-undecodable
+    d = M.decode_real(b"RIFF\x24\x00\x00\x00WAVEgarbagegarbage")
+    assert d == {"mime": "audio/wav", "features": []}
+    # PNG header with width 2^32-1 (> Int32): no dims, no crash
+    import struct
+
+    evil = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", 0xFFFFFFFF, 5, 8, 2, 0, 0, 0)
+    )
+    d = M.decode_real(evil)
+    assert d["mime"] == "image/png" and "width" not in d
+    # both must survive the Spark metadata pass end to end
+    df = spark.createDataFrame(
+        [("w", "audio", b"RIFF\x24\x00\x00\x00WAVEgarbage"), ("p", "image", evil)],
+        ["media_id", "kind", "payload"],
+    )
+    rows = {r.media_id: r for r in M.decode_meta(df).collect()}
+    assert rows["w"].mime == "audio/wav" and rows["w"].duration_ms is None
+    assert rows["p"].width is None
+    feats = {r.media_id: r for r in M.extract_features(df, fake=False).collect()}
+    assert feats["w"].feat_dim == 0 and feats["p"].feat_dim == 0
+
+
+def test_iceberg_reduce_tie_break_matches_snapshot_merge(spark, tmp_path):
+    """The two MERGE backends must pick the same winner for equal-seq
+    same-key rows — IcebergTable._reduce is plain DataFrame code, so
+    parity is testable without the Iceberg runtime."""
+    from pyspark.sql import Row
+
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio import iceberg as I
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        SnapshotTable,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            Row(op="update", doc_id="a", seq=5, text="x", n=1),
+            Row(op="update", doc_id="a", seq=5, text="y", n=2),
+            Row(op="update", doc_id="a", seq=5, text="z", n=3),
+        ]
+    )
+    it = I.IcebergTable(spark, "nocatalog.db.t", key_col="doc_id")
+    red = it._reduce(batch).first()
+    st = SnapshotTable(spark, str(tmp_path / "t"), key_col="doc_id", n_buckets=2)
+    st.merge_reduced(batch, "e0")
+    snap = st.state().first()
+    assert (red.text, red.n) == (snap.text, snap.n)
