@@ -197,21 +197,31 @@ def apply_epoch(
     if quarantine_dir is not None:
         _quarantine_write(bad, quarantine_dir, epoch_id)
 
+    observed, gate_check = _gated_observe(
+        table, good, epoch_id, dq_fail_on_corrupt, notify
+    )
     # COW needs the affected-bucket set up front (to prune the target
     # read); a tiny column-pruned job. MOR skips it entirely — the merge
-    # discovers written buckets from the commit listing.
+    # discovers written buckets from the commit listing. The probe runs
+    # over the OBSERVED frame, and the ordering is load-bearing: the
+    # probe is then the observation's first action, so the DQ metrics
+    # are delivered before the merge write. The COW write itself cannot
+    # be relied on to deliver them — its plan unions the batch with the
+    # (first-epoch EMPTY) target read, and under a foreachBatch
+    # execution the empty-union simplification drops the deep
+    # CollectMetrics node, leaving Observation.get blocked forever
+    # (reproduced on Spark 4.1; batch executions deliver fine).
     affected = None
     if table.mode == "cow":
         affected = [
             r[0]
-            for r in good.select(table.bucket_expr().alias("b")).distinct().collect()
+            for r in observed.select(
+                table.bucket_expr().alias("b")
+            ).distinct().collect()
         ]
         if not affected:
             return table.merge_reduced(good.limit(0), epoch_id, affected=[])
 
-    observed, gate_check = _gated_observe(
-        table, good, epoch_id, dq_fail_on_corrupt, notify
-    )
     repaired = repair_ntok(observed)
 
     # No pre-reduction: the merge's own groupBy/max_by aggregate performs
@@ -376,12 +386,12 @@ def redrive_quarantine(
     # miss columns; plain inference picks ONE arbitrary footer (narrow
     # pick -> scan crash on the wide files, or silent column drop the
     # other way). Unify the per-dir schemas exactly like the log read
-    # path does, then read with the explicit widest schema (missing ->
-    # NULL, narrow ints up-cast).
-    unified = None
-    for p in paths:
-        s = spark.read.parquet(p).schema
-        unified = unify_schemas(unified, s) if unified is not None else s
+    # path does — sharing its per-dir schema cache, so repeated redrives
+    # cost footer reads only for NEW epoch dirs — then read with the
+    # explicit widest schema (missing -> NULL, narrow ints up-cast).
+    unified = _unify_dir_schemas(
+        spark, paths, os.path.join(quarantine_dir, "_schema_cache.json")
+    )
     df = spark.read.schema(unified).parquet(*paths).drop("_reject_reason")
     if fix is not None:
         df = fix(df)
@@ -493,19 +503,29 @@ def unified_log_schema(spark: SparkSession, log_dir: str, cache_dir: str | None 
     serial driver I/O per stream start. Batch dirs are immutable once
     renamed into the log (the writer contract), so the cache never
     staleness-checks."""
-    import pyspark.sql.types as T
-
     paths = list_batches(log_dir)
     if not paths:
         return None  # empty log: caller no-ops (matches run_replay)
-    cache: dict[str, str] = {}
     cache_file = None
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
         cache_file = os.path.join(cache_dir, "_schema_cache.json")
-        if os.path.exists(cache_file):
-            with open(cache_file) as f:
-                cache = json.load(f)
+    return _unify_dir_schemas(spark, paths, cache_file)
+
+
+def _unify_dir_schemas(spark: SparkSession, paths: list[str], cache_file=None):
+    """Widest-common schema over immutable parquet dirs, with an optional
+    per-dir schema-JSON cache so repeated calls read footers only for
+    dirs not seen before (shared by the log read path and the quarantine
+    redrive — both were otherwise O(dirs) serial driver reads per call).
+    Cache entries for since-expired dirs are harmless: lookups are keyed
+    by the dirs actually present."""
+    import pyspark.sql.types as T
+
+    cache: dict[str, str] = {}
+    if cache_file is not None and os.path.exists(cache_file):
+        with open(cache_file) as f:
+            cache = json.load(f)
     dirty = False
     schema = None
     for p in paths:
@@ -631,31 +651,26 @@ def _make_merge(
     pre_merge_check=None,
 ):
     """foreachBatch body shared by the availableNow replay and the
-    continuous tail: quarantine split -> DQ-gated idempotent merge.
-    ``pre_merge_check`` (tail only) runs FIRST and may raise to fail the
-    micro-batch before anything commits — the schema-evolution guard."""
+    continuous tail: derive the namespaced epoch id, then run the ONE
+    epoch pipeline (apply_epoch — quarantine split, transactional DQ
+    gate, repair, idempotent merge, stale-verdict cleanup). Round 2
+    shipped a fork of that pipeline here and the DQ gate existed only on
+    the batch path; delegation makes that divergence structurally
+    impossible. ``pre_merge_check`` (tail only) runs FIRST and may raise
+    to fail the micro-batch before anything commits — the
+    schema-evolution guard."""
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         if pre_merge_check is not None:
             pre_merge_check()
-        eid = f"stream-{instance}-{epoch_id}"
-        good, bad = split_quarantine(batch_df)
-        if quarantine_dir is not None:
-            # same DLQ as the batch path — the streaming driver must not
-            # silently drop malformed envelopes
-            _quarantine_write(bad, quarantine_dir, eid)
-        # same transactional DQ gate as apply_epoch (round 2 had it only
-        # on the batch path): the gate raises pre-manifest, the micro-batch
-        # fails, Spark surfaces a StreamingQueryException, and the epoch
-        # stays uncommitted — a later restart re-reads the same files
-        observed, gate_check = _gated_observe(
-            table, good, eid, dq_fail_on_corrupt, notify
+        apply_epoch(
+            table,
+            batch_df,
+            f"stream-{instance}-{epoch_id}",
+            quarantine_dir=quarantine_dir,
+            dq_fail_on_corrupt=dq_fail_on_corrupt,
+            notify=notify,
         )
-        repaired = repair_ntok(observed)
-        table.merge_reduced(repaired.drop("batch_id"), eid, pre_commit=gate_check)
-        stale_verdict = os.path.join(table.root, "verdicts", f"epoch={eid}.json")
-        if os.path.exists(stale_verdict):
-            os.remove(stale_verdict)
 
     return _merge
 

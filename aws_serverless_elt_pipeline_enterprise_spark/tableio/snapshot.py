@@ -85,10 +85,17 @@ class EpochLedger:
 
     @staticmethod
     def _parse(eid: str) -> tuple[str, int] | None:
-        # canonical ASCII numeric suffixes only: 'e-07' must NOT collide
-        # with 'e-7' (leading zeros), and non-ASCII digits ('x-٤', 'ep-²')
-        # must not alias ASCII ids or crash int() — any alias is a
-        # silently skipped epoch
+        # Alias-safety is the invariant: two DIFFERENT epoch ids must
+        # never map to the same (key, n) — a membership false positive
+        # is a silently skipped epoch. Canonical suffixes key by the
+        # prefix; ZERO-PADDED suffixes (batch_00042 — the replay
+        # driver's real naming, which previously fell to the O(n)
+        # 'other' set and reinstated the quadratic manifest growth this
+        # class exists to prevent) key by (prefix, pad width), encoded
+        # with a \x00 separator no real id can contain ('e-07' still
+        # cannot collide with 'e-7'). '_'-separated ids keep the
+        # separator in the key so 'a_1' cannot alias 'a-1'. Non-ASCII
+        # digits ('x-٤') must not alias ASCII ids or crash int().
         def canon(s: str) -> bool:
             return (
                 s.isascii()
@@ -96,15 +103,24 @@ class EpochLedger:
                 and (s == "0" or not s.startswith("0"))
             )
 
+        def padded(s: str) -> bool:
+            return s.isascii() and s.isdigit() and len(s) > 1 and s[0] == "0"
+
+        if "\x00" in eid:
+            return None  # keeps the pad-key encoding collision-free
         if canon(eid):
             return "", int(eid)
-        if "-" in eid:
-            pre, suf = eid.rsplit("-", 1)
-            # prefix must be NON-EMPTY: '-0' would otherwise alias the
-            # bare id '0' under ('', 0) — a membership false positive is
-            # a silently skipped epoch (hypothesis-found counterexample)
-            if pre and canon(suf):
-                return pre, int(suf)
+        i = max(eid.rfind("-"), eid.rfind("_"))
+        # prefix must be NON-EMPTY: '-0' would otherwise alias the
+        # bare id '0' under ('', 0) (hypothesis-found counterexample)
+        if i <= 0:
+            return None
+        pre, sep, suf = eid[:i], eid[i], eid[i + 1 :]
+        key = pre if sep == "-" else pre + "_"
+        if canon(suf):
+            return key, int(suf)
+        if padded(suf):
+            return f"{key}\x00pad{len(suf)}", int(suf)
         return None
 
     def add(self, eid: str) -> None:
@@ -149,23 +165,25 @@ class EpochLedger:
         }
 
 
-_NUMERIC_WIDTH = {
-    "tinyint": 0,
-    "smallint": 1,
-    "int": 2,
-    "bigint": 3,
-    "float": 4,
-    "double": 5,
-}
+_INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLOAT_WIDTH = {"float": 0, "double": 1}
 
 
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
-    """Resolve the common (widest) type for schema evolution."""
+    """Resolve the common (widest) type for schema evolution. Widening
+    is LOSSLESS-ONLY and within one numeric family (Iceberg's rule):
+    int->long and float->double are exact, but long->float/double is
+    NOT — a float holds 24 mantissa bits and a double 53, so a bigint
+    counter above 2^53 would silently round (9007199254740993 reads
+    back ...992) and the corrupted value would then win LWW merges.
+    Cross-family evolution raises like any other incompatible pair."""
     if a == b:
         return a
     an, bn = a.simpleString(), b.simpleString()
-    if an in _NUMERIC_WIDTH and bn in _NUMERIC_WIDTH:
-        return a if _NUMERIC_WIDTH[an] >= _NUMERIC_WIDTH[bn] else b
+    if an in _INT_WIDTH and bn in _INT_WIDTH:
+        return a if _INT_WIDTH[an] >= _INT_WIDTH[bn] else b
+    if an in _FLOAT_WIDTH and bn in _FLOAT_WIDTH:
+        return a if _FLOAT_WIDTH[an] >= _FLOAT_WIDTH[bn] else b
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
         return T.ArrayType(_widen(a.elementType, b.elementType), True)
     raise ValueError(f"incompatible schema evolution: {an} vs {bn}")

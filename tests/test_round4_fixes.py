@@ -432,3 +432,49 @@ def test_iceberg_reduce_tie_break_matches_snapshot_merge(spark, tmp_path):
     st.merge_reduced(batch, "e0")
     snap = st.state().first()
     assert (red.text, red.n) == (snap.text, snap.n)
+
+
+def test_epoch_ledger_compacts_zero_padded_batch_ids():
+    """The replay driver's real naming (batch_00042: '_' separator +
+    zero-padded suffix) must compact to an O(1) watermark, not fall to
+    the O(n) 'other' set — with no aliasing against unpadded or
+    '-'-separated variants."""
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        EpochLedger,
+    )
+
+    led = EpochLedger()
+    for i in range(100):
+        led.add(f"batch_{i:05d}")
+    assert not led.other and len(led) == 100
+    assert len(led.extras) == 0  # fully contiguous -> one watermark
+    assert "batch_00042" in led and "batch_00100" not in led
+    # padding width and separator are part of the identity
+    for alias in ("batch_42", "batch-00042", "batch_0042", "batch\x0042"):
+        assert alias not in led, alias
+    led2 = EpochLedger(led.to_json())  # manifest round-trip
+    assert "batch_00099" in led2 and "batch_00100" not in led2
+    led2.add("batch_00100")
+    assert len(led2.extras) == 0
+
+
+def test_widen_rejects_cross_family_numeric_evolution():
+    import pytest
+    from pyspark.sql import types as T
+
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        unify_schemas,
+    )
+
+    def s(**kv):
+        return T.StructType([T.StructField(k, v) for k, v in kv.items()])
+
+    out = unify_schemas(s(a=T.IntegerType()), s(a=T.LongType()))
+    assert out["a"].dataType == T.LongType()
+    out = unify_schemas(s(a=T.FloatType()), s(a=T.DoubleType()))
+    assert out["a"].dataType == T.DoubleType()
+    # long -> double would silently round counters above 2^53
+    with pytest.raises(ValueError, match="incompatible"):
+        unify_schemas(s(a=T.LongType()), s(a=T.DoubleType()))
+    with pytest.raises(ValueError, match="incompatible"):
+        unify_schemas(s(a=T.IntegerType()), s(a=T.FloatType()))
