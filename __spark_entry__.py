@@ -497,7 +497,6 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the driver, not just by pytest."""
     import atexit
     import shutil
-    import tempfile
 
     from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
         sweep_stale_tables,
@@ -512,10 +511,13 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Table lives on the SAME tmpfs work root bench.py uses (r3's driver
     # artifact showed a 2.8x roundtrip swing when this wrote under /tmp's
-    # ext4 while the replay bench wrote to /dev/shm). Cleanup is the
-    # shared dead-pid sweep (tbl_rt_<pid> matches benchkit's tbl_* glob)
-    # plus one atexit rmtree; the returned DataFrame reads the table
-    # lazily, so THIS run's dir must outlive the call.
+    # ext4 while the replay bench wrote to /dev/shm). ONE dir per
+    # (process, sf_dir), wiped and rebuilt per call: tmpfs is RAM, so a
+    # median-of-N bench looping this query must not accumulate N table
+    # copies (the previous call's lazily-returned DataFrame is already
+    # collected by then — bench and driver both collect before re-
+    # invoking). Cleanup is the shared dead-pid sweep (tbl_rt_<pid>
+    # matches benchkit's tbl_* glob) plus one atexit rmtree.
     base = work_root()
     os.makedirs(base, exist_ok=True)
     sweep_stale_tables(base)
@@ -534,9 +536,11 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") != "error", F.lit(1)).alias("n_tok"),
     )
     proc_dir = os.path.join(base, f"tbl_rt_{os.getpid()}")
-    os.makedirs(proc_dir, exist_ok=True)
-    atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
-    root = tempfile.mkdtemp(dir=proc_dir)
+    if not os.path.isdir(proc_dir):
+        os.makedirs(proc_dir)
+        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
+    root = os.path.join(proc_dir, sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(root, ignore_errors=True)
     table = SnapshotTable(
         spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
     )
@@ -733,10 +737,15 @@ def _qcos(a: str, b: str) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": """
+            -- struct-wrapped arg_max: DuckDB's bare arg_max SKIPS rows
+            -- whose value arg is NULL, but LWW semantics (and Spark's
+            -- max_by) keep the latest row's value even when it is NULL
+            -- (an update that nulls a field is still the latest state);
+            -- the struct is never NULL, so no row is skipped
             SELECT user_id,
                    max(event_id)               AS last_event_id,
-                   arg_max(event_type, event_id) AS last_event_type,
-                   arg_max(value, event_id)      AS last_value
+                   (arg_max({'x': event_type}, event_id)).x AS last_event_type,
+                   (arg_max({'x': value}, event_id)).x      AS last_value
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         "cdc_lww_window": """

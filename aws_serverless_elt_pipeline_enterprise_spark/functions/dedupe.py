@@ -641,8 +641,19 @@ def simhash_near_dup_pairs(
     persisted before the self-join: both join sides (and the 4 block
     branches after projection collapse) would otherwise each recompute
     the full hash+fold chain — ~10x the work for a DF of one long per
-    doc."""
-    sh = df.select(F.col(key), simhash64(text, hash_mode).alias("sh")).persist()
+    doc.
+
+    Zero-word docs (empty/whitespace-only/NULL text) are dropped before
+    signing, mirroring minhash_signatures: their signature degenerates
+    to 0, so N such docs would share every block hash and the bucket
+    self-join would emit a C(N,2) clique of meaningless "near-dups" —
+    the exact explosion the blocking exists to prevent (and a divergence
+    from the word-level oracle, which produces no rows for them)."""
+    sh = (
+        df.filter(F.size(words(text)) > 0)
+        .select(F.col(key), simhash64(text, hash_mode).alias("sh"))
+        .persist()
+    )
     blocks = sh.select(
         key,
         "sh",

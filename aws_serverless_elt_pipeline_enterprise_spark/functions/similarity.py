@@ -80,29 +80,20 @@ def quantized_cosine_topk(
     (unlike float-fold cosine, where summation shape changes the last
     ulp). Plan shape matches brute_force_topk: codegen'd fold ->
     TakeOrderedAndProject."""
-    import math
-
-    qq = [int(math.floor(float(x) * scale)) for x in query_vec]
-    nb = sum(v * v for v in qq)
+    qlit, nb = _quantize_query(query_vec, scale)
     if nb == 0:
         raise ValueError("zero-norm query vector: cosine undefined")
-    qlit = F.array(*[F.lit(v).cast("long") for v in qq])
-    cv = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
-    )
-    zero = F.lit(0).cast("long")
     scored = (
-        df.select(F.col(id_col), cv.alias("qv"))
+        df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("qv"))
         .select(
             id_col,
+            _qdot(F.col("qv"), qlit).alias("dot_q"),
+            # squared self-dot, not _qnorm: the sqrt happens once in the
+            # final divide below, keeping na an exact bigint until then
             F.aggregate(
-                F.zip_with("qv", qlit, lambda a, b: a * b),
-                zero,
+                F.transform("qv", lambda x: x * x),
+                F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
-            ).alias("dot_q"),
-            F.aggregate(
-                F.transform("qv", lambda x: x * x), zero, lambda acc, x: acc + x
             ).alias("na"),
         )
         # zero-norm rows excluded up front: their cosine is undefined and
@@ -483,7 +474,14 @@ def batch_topk_pandas(
     queries against the batch (vectorized — never per-row Python), then a
     global top-k per query via window. Returns (query_id, vec_id, cos_sim)."""
     qm = np.asarray(queries, dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
+    if not np.all(qnorms > 0):
+        # same contract as every sibling path (quantized/ivf/lsh): a
+        # zero-norm query has no direction — raising beats silently
+        # returning k arbitrary rows with NaN scores (the 0/0 NaN would
+        # also rank FIRST in the window below)
+        raise ValueError("zero-norm query vector: cosine undefined")
+    qn = qm / qnorms
     n_q = len(queries)
 
     dim = len(queries[0])
@@ -528,33 +526,41 @@ def hyperplane_signature(
     """Random-hyperplane LSH signature: bit i = sign(v . h_i) where h_i is
     a deterministic pseudo-random hyperplane derived from (seed, i). The
     hyperplanes are +/-1 valued (sign of a hash), so the projection is a
-    signed sum — all JVM-side, no UDF."""
-    def signed_term(i: int):
-        # factory keeps the Spark-visible lambda two-argument (PySpark
-        # inspects arity to bind higher-order-function variables)
-        def term(x, j):
-            return x.cast("double") * F.when(
-                F.pmod(F.xxhash64(j, F.lit(i), F.lit(seed)), F.lit(2)) == 0, 1.0
-            ).otherwise(-1.0)
+    signed sum — all JVM-side, no UDF.
 
-        return term
-
-    bits = []
-    for i in range(n_bits):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                signed_term(i),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    Single-fold formulation (the simhash64 shape): Spark cannot CSE
+    across HOF lambda scopes, so n_bits separate aggregate folds walked
+    the vector n_bits times, re-hashing per element each walk. Instead
+    ONE fold over the (value, index) pairs carries an n_bits-wide
+    projection accumulator — same signature bits (identical hash
+    inputs), ~n_bits-fold less work per row."""
+    bit_idx = F.array(*[F.lit(i) for i in range(n_bits)])
+    masks = F.array(*[F.lit(1 << i) for i in range(n_bits)])
+    pairs = F.zip_with(
+        F.col(vec_col),
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda x, j: F.struct(x.cast("double").alias("x"), j.alias("j")),
+    )
+    projs = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0.0), n_bits),
+        lambda acc, e: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, i: a
+            + e["x"]
+            * F.when(
+                F.pmod(F.xxhash64(e["j"], i, F.lit(seed)), F.lit(2)) == 0, 1.0
+            ).otherwise(-1.0),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            projs, masks, lambda p, m: F.when(p > 0, m).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
 
 
 def lsh_topk(
@@ -598,8 +604,23 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via signature bucketing:
     vectors sharing an LSH bucket are verified with the exact cosine.
-    (cos >= 0.95 pairs collide in a 16-bit signature with high prob.)"""
-    first = df.select(vec_col).first()
+    (cos >= 0.95 pairs collide in a 16-bit signature with high prob.)
+
+    An empty (or all-NULL-vector) input yields zero pairs, like every
+    other pair generator in the family — the dim probe must not die on
+    first() returning None mid-pipeline."""
+    first = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("a", df.schema[id_col].dataType),
+                    T.StructField("b", df.schema[id_col].dataType),
+                    T.StructField("cos_sim", T.DoubleType()),
+                ]
+            ),
+        )
     dim = len(first[0])
     sigs = df.select(
         F.col(id_col),

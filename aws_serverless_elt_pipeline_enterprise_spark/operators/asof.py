@@ -165,7 +165,15 @@ def asof_join(
     # a real ASOF join (and the DuckDB oracle) never matches it, but
     # Spark's nulls-first ascending sort would have carried its payload
     # into every probe that lacks an earlier real version
-    r = versions.filter(F.col(on).isNotNull()).select(
+    # NULL-key versions can never match any probe: ASOF equality is SQL
+    # equality (NULL = NULL is not true — DuckDB's native ASOF JOIN and
+    # this operator must agree), but Window.partitionBy groups NULLs
+    # into ONE partition, which would have carried a null-key version's
+    # payload into every null-key probe. Null-key PROBES still come back
+    # (left-join semantics) with a NULL payload.
+    r = versions.filter(
+        F.col(on).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key),
         F.col(on).alias("_t"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_payload"),

@@ -52,6 +52,10 @@ def test_asof_hot_key_slicing_matches_single_window(spark):
     base = _collect_asof(probe_df, versions, hot_threshold=None)
     sliced = _collect_asof(probe_df, versions, hot_threshold=50, n_slices=8)
     assert sliced == base
+    # SQL equality semantics: the null-key probe is returned (left join)
+    # but never matches the null-key version (NULL = NULL is not true,
+    # matching DuckDB's native ASOF JOIN)
+    assert [(k, t, v) for (k, t, v) in base if k is None] == [(None, 2, None)]
     # explicit hot_keys skips the probe, same result
     explicit = _collect_asof(
         probe_df, versions, hot_threshold=50, n_slices=8, hot_keys=["hot"]
@@ -478,3 +482,46 @@ def test_widen_rejects_cross_family_numeric_evolution():
         unify_schemas(s(a=T.LongType()), s(a=T.DoubleType()))
     with pytest.raises(ValueError, match="incompatible"):
         unify_schemas(s(a=T.IntegerType()), s(a=T.FloatType()))
+
+
+def test_simhash_drops_zero_word_docs(spark):
+    """Empty/whitespace/NULL texts all degenerate to signature 0 — N of
+    them would form a C(N,2) false-near-dup clique sharing every block."""
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import dedupe as D
+
+    df = spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, None), (4, "real words here"),
+         (5, "real words here")],
+        ["doc_id", "text"],
+    )
+    pairs = D.simhash_near_dup_pairs(df, max_hamming=3).collect()
+    assert {(r.a, r.b) for r in pairs} == {(4, 5)}
+
+
+def test_batch_topk_rejects_zero_norm_query(spark):
+    import pytest
+
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="zero-norm query"):
+        S.batch_topk_pandas(df, [[0.0, 0.0], [1.0, 0.0]], k=2)
+
+
+def test_embedding_near_dup_pairs_empty_input(spark):
+    from pyspark.sql import types as T
+
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import similarity as S
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert S.embedding_near_dup_pairs(empty).count() == 0
+    nulls = spark.createDataFrame([(1, None)], schema)
+    assert S.embedding_near_dup_pairs(nulls).count() == 0
