@@ -17,7 +17,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: F.Column, b: F.Column) -> F.Column:
@@ -382,6 +381,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     scale: int = 16384,
     centroids: DataFrame | None = None,
+    salt_buckets: int | None = None,
 ) -> dict:
     """Materialize the IVF index at ``path``: member vectors (quantized +
     pre-normed) written PARTITIONED BY centroid id under ``members/``,
@@ -396,8 +396,11 @@ def build_ivf_index(
     identical either way.
 
     Members are repartitioned BY cid before the write so each centroid's
-    partition is one contiguous file set (at 10^10 vectors add a salt
-    column so the largest centroid is not one write task). Degenerate
+    partition is one contiguous file set. ``salt_buckets`` splits each
+    centroid's WRITE across up to that many tasks (shuffle key becomes
+    (cid, xxhash64(id) % salt_buckets)) — at 10^10 vectors the largest
+    centroid must not serialize into one write task; the probe is
+    unchanged, it reads ``cid=X/*`` regardless of file count. Degenerate
     case — no vector id in the sampled residue class — is recorded in
     meta and the index stores all vectors unpartitioned (probe = exact
     brute force), mirroring ivf_topk's fallback."""
@@ -411,9 +414,20 @@ def build_ivf_index(
     if degenerate:
         qd.write.mode("overwrite").parquet(_os.path.join(path, "members"))
     else:
+        if salt_buckets:
+            # explicit partition count: a column-only repartition is an
+            # AQE-coalescible hint, and on a small build AQE merges it
+            # back to one task — defeating the salt. n_centroids *
+            # salt_buckets gives every (cid, salt) combo its own slot.
+            shuffled = assign.repartition(
+                max(1, n_centroids) * salt_buckets,
+                F.col("cid"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)),
+            )
+        else:
+            shuffled = assign.repartition("cid")
         (
-            assign.repartition("cid")
-            .write.mode("overwrite")
+            shuffled.write.mode("overwrite")
             .partitionBy("cid")
             .parquet(_os.path.join(path, "members"))
         )
@@ -471,52 +485,87 @@ def batch_topk_pandas(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Many queries at once: per Arrow batch, one numpy matmul scores all
-    queries against the batch (vectorized — never per-row Python), then a
-    global top-k per query via window. Returns (query_id, vec_id, cos_sim)."""
+    queries against the batch (vectorized — never per-row Python), and a
+    LOCAL top-k per query is emitted from inside the UDF — at most
+    k * n_queries rows leave each batch, so the global reduce touches
+    O(n_batches * k) rows per query instead of all N. The global step is
+    one partial-aggregable collect_list + array_sort + slice per query
+    (group size bounded by batches-per-partition * k at the partial
+    level), NOT a row_number window — the window formulation collapsed
+    parallelism to n_q single-task sorts of the full N-row exploded
+    frame, a scale-killer at 10^10 rows. Returns (query_id, vec_id,
+    cos_sim); zero-norm and NULL vectors are never returned (no
+    direction -> cosine undefined), matching the quantized/ivf paths."""
     qm = np.asarray(queries, dtype=np.float64)
     qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
     if not np.all(qnorms > 0):
         # same contract as every sibling path (quantized/ivf/lsh): a
         # zero-norm query has no direction — raising beats silently
-        # returning k arbitrary rows with NaN scores (the 0/0 NaN would
-        # also rank FIRST in the window below)
+        # returning k arbitrary rows with NaN scores
         raise ValueError("zero-norm query vector: cosine undefined")
     qn = qm / qnorms
     n_q = len(queries)
-
     dim = len(queries[0])
-
-    @pandas_udf(T.ArrayType(T.DoubleType()))
-    def score_all(vecs: pd.Series) -> pd.Series:
-        # NULL rows stack as zeros (np.stack would crash on a 0-d object
-        # array); zero-norm rows (incl. those nulls) score -inf so they
-        # can never enter a top-k — a 0/0 NaN would rank FIRST under
-        # Spark's NaN-greatest double ordering
-        m = np.stack(
-            [
-                np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
-                for v in vecs
-            ]
-        )
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        ok = norms[:, 0] > 0
-        m = np.divide(m, norms, out=np.zeros_like(m), where=norms > 0)
-        sims = m @ qn.T  # (batch, n_q)
-        sims[~ok] = -np.inf
-        return pd.Series(list(sims))
-
-    scored = df.select(F.col(id_col), score_all(F.col(vec_col)).alias("sims"))
-    exploded = scored.select(
-        id_col,
-        F.posexplode("sims").alias("query_id", "cos_sim"),
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.IntegerType()),
+            T.StructField(id_col, id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # NULL rows stack as zeros (np.stack would crash on a 0-d
+            # object array); zero-norm rows (incl. those nulls) are
+            # dropped before selection — a 0/0 NaN would rank FIRST
+            # under Spark's NaN-greatest double ordering
+            m = np.stack(
+                [
+                    np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            ok = norms[:, 0] > 0
+            if not ok.any():
+                continue
+            m = np.divide(m, norms, out=np.zeros_like(m), where=norms > 0)
+            sims = (m @ qn.T)[ok]  # (n_ok, n_q)
+            ids = pdf[id_col].to_numpy()[ok]
+            out = []
+            for qi in range(n_q):
+                # tie-aware local top-k under the SAME total order the
+                # global reduce uses (desc cos_sim, asc id): any global
+                # winner is in its batch's top-k under that order, so
+                # the pre-reduction is lossless
+                part = (
+                    pd.DataFrame({id_col: ids, "cos_sim": sims[:, qi]})
+                    .sort_values(["cos_sim", id_col], ascending=[False, True])
+                    .head(k)
+                )
+                part.insert(0, "query_id", np.int32(qi))
+                out.append(part)
+            yield pd.concat(out, ignore_index=True)
+
+    cand = df.select(id_col, vec_col).mapInPandas(local_topk, schema=out_schema)
+    winner = F.struct(
+        (-F.col("cos_sim")).alias("_nc"),
+        F.col(id_col).alias("_id"),
+        F.col("cos_sim").alias("_c"),
+    )
     return (
-        exploded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", id_col, "cos_sim")
+        cand.groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list(winner)), 1, k).alias("top"))
+        .select("query_id", F.explode("top").alias("t"))
+        .select(
+            "query_id",
+            F.col("t._id").alias(id_col),
+            F.col("t._c").alias("cos_sim"),
+        )
     )
 
 
@@ -573,16 +622,18 @@ def lsh_topk(
     seed: int = 42,
     probe_hamming: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors whose hyperplane signature is
-    within ``probe_hamming`` bits of the query's (multi-probe). At scale the
-    signature is precomputed and the table is bucketed by it, so the probe
-    is a partition-pruned read instead of a full scan."""
+    """Approximate top-k, ONE-SHOT form: score only vectors whose
+    hyperplane signature is within ``probe_hamming`` bits of the query's
+    (multi-probe) — the signature pass runs inside this call's plan, a
+    full scan per query. At scale build the index ONCE with
+    ``build_lsh_index`` (signatures materialized, members written
+    PARTITIONED BY signature) and query through ``lsh_index_topk``,
+    whose probe enumerates the Hamming ball driver-side and reads only
+    those buckets' partitions (plan-asserted in tests). Scoring is
+    identical, so the two paths return identical rows."""
     dim = len(query_vec)
     sigs = df.withColumn("sig", hyperplane_signature(vec_col, dim, n_bits, seed))
-    qdf = df.sparkSession.createDataFrame(
-        [(query_vec,)], T.StructType([T.StructField("qv", T.ArrayType(T.FloatType()))])
-    ).withColumn("qsig", hyperplane_signature("qv", dim, n_bits, seed))
-    qsig = qdf.collect()[0]["qsig"]
+    qsig = _query_signature(df.sparkSession, query_vec, n_bits, seed)
     cand = sigs.filter(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
     )
@@ -591,6 +642,191 @@ def lsh_topk(
         cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
+    )
+
+
+def _query_signature(spark, query_vec: list[float], n_bits: int, seed: int) -> int:
+    """The query's hyperplane signature, computed by the SAME JVM
+    expression the table signatures use (one tiny 1-row job) — bit-exact
+    parity matters more than avoiding a millisecond job, since xxhash64
+    has no stdlib Python twin."""
+    qdf = spark.createDataFrame(
+        [(query_vec,)],
+        T.StructType([T.StructField("qv", T.ArrayType(T.FloatType()))]),
+    ).withColumn("qsig", hyperplane_signature("qv", len(query_vec), n_bits, seed))
+    return qdf.collect()[0]["qsig"]
+
+
+def _hamming_ball(sig: int, n_bits: int, radius: int) -> list[int]:
+    """All signatures within ``radius`` bit flips of ``sig`` —
+    sum_{r<=radius} C(n_bits, r) values, enumerated driver-side (137 for
+    16 bits / radius 2): the multi-probe set is a LITERAL IN-list, so
+    the index read partition-prunes with no scan of the signature
+    column."""
+    import itertools
+
+    out = [sig]
+    for r in range(1, radius + 1):
+        for bits in itertools.combinations(range(n_bits), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            out.append(sig ^ m)
+    return out
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    n_bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the hyperplane-LSH index at ``path``: (id, vector,
+    signature) written PARTITIONED BY signature under ``members/``, build
+    parameters in ``meta.json``. The signature pass (the full scan) is
+    paid ONCE here; ``lsh_index_topk`` and ``lsh_index_near_dup_pairs``
+    then read only the buckets they probe — at 10^10 vectors a 16-bit
+    signature splits the table into <=65536 partitions and a
+    radius-2 probe touches 137 of them.
+
+    NULL vectors are excluded (no signature, and cosine against them is
+    NULL anyway); zero-norm vectors keep lsh_topk's semantics (signature
+    0, NULL cosine sorts below every real score). An empty/all-NULL
+    input is recorded in meta and probed as an empty result."""
+    import json as _json
+    import os as _os
+
+    rows = df.filter(F.col(vec_col).isNotNull())
+    first = rows.select(vec_col).first()
+    meta = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_bits": n_bits,
+        "seed": seed,
+        "dim": len(first[0]) if first is not None else 0,
+        "empty": first is None,
+        "id_type": df.schema[id_col].dataType.json(),
+    }
+    if not meta["empty"]:
+        sigs = rows.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_signature(vec_col, meta["dim"], n_bits, seed).alias("sig"),
+        )
+        (
+            sigs.repartition("sig")
+            .write.mode("overwrite")
+            .partitionBy("sig")
+            .parquet(_os.path.join(path, "members"))
+        )
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def _read_lsh_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "meta.json")) as f:
+        return _json.load(f)
+
+
+def _id_type(meta: dict):
+    return T._parse_datatype_json_string(meta["id_type"])
+
+
+def lsh_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Query a materialized LSH index (``build_lsh_index``): compute the
+    query signature, enumerate its Hamming ball driver-side, and read
+    ONLY those buckets' partitions (``sig`` is the parquet partition
+    column — Catalyst prunes the scan; asserted via PartitionFilters +
+    files actually read in tests). Scoring matches lsh_topk exactly, so
+    the one-shot and materialized paths return identical rows."""
+    import os as _os
+
+    meta = _read_lsh_meta(path)
+    if meta["empty"]:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(meta["id_col"], _id_type(meta)),
+                    T.StructField("cos_sim", T.DoubleType()),
+                ]
+            ),
+        )
+    if len(query_vec) != meta["dim"]:
+        raise ValueError(
+            f"query dim {len(query_vec)} != index dim {meta['dim']}"
+        )
+    qsig = _query_signature(spark, query_vec, meta["n_bits"], meta["seed"])
+    probe = _hamming_ball(qsig, meta["n_bits"], probe_hamming)
+    members = spark.read.parquet(_os.path.join(path, "members"))
+    cand = members.filter(F.col("sig").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(meta["id_col"]),
+            cosine(F.col(meta["vec_col"]), q).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(meta["id_col"]))
+        .limit(k)
+    )
+
+
+def lsh_index_near_dup_pairs(
+    spark, path: str, threshold: float = 0.95
+) -> DataFrame:
+    """Near-duplicate pairs over a materialized LSH index: the signature
+    pass is already paid, so this is ONE bucket-equijoin + exact-cosine
+    verify over the stored (id, vec, sig) rows — identical pair set to
+    ``embedding_near_dup_pairs`` at the same (n_bits, seed)."""
+    import os as _os
+
+    meta = _read_lsh_meta(path)
+    if meta["empty"]:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("a", _id_type(meta)),
+                    T.StructField("b", _id_type(meta)),
+                    T.StructField("cos_sim", T.DoubleType()),
+                ]
+            ),
+        )
+    members = spark.read.parquet(_os.path.join(path, "members"))
+    return _sig_verify_pairs(
+        members, threshold, meta["id_col"], meta["vec_col"]
+    )
+
+
+def _sig_verify_pairs(
+    sigs: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared verify step: same-bucket equijoin + exact cosine filter."""
+    a = sigs.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("sig")
+    )
+    b = sigs.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("sig")
+    )
+    return (
+        a.join(b, "sig")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
     )
 
 
@@ -605,6 +841,9 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via signature bucketing:
     vectors sharing an LSH bucket are verified with the exact cosine.
     (cos >= 0.95 pairs collide in a 16-bit signature with high prob.)
+    One-shot form — computes signatures in-plan; with a
+    ``build_lsh_index`` on disk, ``lsh_index_near_dup_pairs`` reads the
+    stored signatures instead of recomputing them per call.
 
     An empty (or all-NULL-vector) input yields zero pairs, like every
     other pair generator in the family — the dim probe must not die on
@@ -627,16 +866,4 @@ def embedding_near_dup_pairs(
         F.col(vec_col),
         hyperplane_signature(vec_col, dim, n_bits, seed).alias("sig"),
     )
-    a = sigs.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("sig")
-    )
-    b = sigs.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("sig")
-    )
-    return (
-        a.join(b, "sig")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("a", "b", "cos_sim")
-    )
+    return _sig_verify_pairs(sigs, threshold, id_col, vec_col)

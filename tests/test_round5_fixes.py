@@ -1,0 +1,200 @@
+"""Round-5 items: materialized hyperplane-LSH index, batch_topk without
+the global window, IVF write-salt, Iceberg soft-delete tombstones, and
+the round-4 ADVICE fixes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_serverless_elt_pipeline_enterprise_spark.functions import similarity as S
+from aws_serverless_elt_pipeline_enterprise_spark.plans import checks
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# -------------------------------------------------------------------------
+# Materialized LSH index
+# -------------------------------------------------------------------------
+
+
+def test_lsh_index_topk_matches_oneshot(spark, sf_dir, tmp_path):
+    e = _emb(spark, sf_dir)
+    qv = list(e.filter("vec_id = 0").first()["embedding"])
+    rest = e.filter("vec_id <> 0")
+    idx = str(tmp_path / "lsh")
+    S.build_lsh_index(rest, idx, n_bits=12, seed=7)
+    got = S.lsh_index_topk(spark, idx, qv, k=8, probe_hamming=3).collect()
+    want = S.lsh_topk(
+        rest, qv, k=8, n_bits=12, seed=7, probe_hamming=3
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in want
+    ]
+
+
+def test_lsh_index_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The probe must read ONLY the Hamming-ball buckets: a sig partition
+    filter in the plan AND strictly fewer files actually read than the
+    index holds."""
+    e = _emb(spark, sf_dir).filter("vec_id <> 0")
+    qv = list(_emb(spark, sf_dir).filter("vec_id = 0").first()["embedding"])
+    idx = str(tmp_path / "lsh")
+    S.build_lsh_index(e, idx, n_bits=12, seed=7)
+    probe_df = S.lsh_index_topk(spark, idx, qv, k=8, probe_hamming=1)
+    assert any("sig" in f for f in checks.partition_filters(probe_df))
+    members = spark.read.parquet(os.path.join(idx, "members"))
+    qsig = S._query_signature(spark, qv, 12, 7)
+    ball = S._hamming_ball(qsig, 12, 1)
+    assert len(ball) == 13 and len(set(ball)) == 13
+    pruned = members.filter(F.col("sig").isin(ball))
+    files_read = pruned.select(F.input_file_name()).distinct().count()
+    total = members.select(F.input_file_name()).distinct().count()
+    n_buckets = members.select("sig").distinct().count()
+    assert files_read < total, (files_read, total)
+    # at most one bucket-dir's worth of files per probed signature
+    assert files_read <= len(ball) * ((total + n_buckets - 1) // n_buckets)
+
+
+def test_lsh_index_near_dup_matches_oneshot(spark, sf_dir, tmp_path):
+    e = _emb(spark, sf_dir).limit(300)
+    idx = str(tmp_path / "lsh")
+    S.build_lsh_index(e, idx, n_bits=8, seed=42)
+    got = {
+        (r.a, r.b, r.cos_sim)
+        for r in S.lsh_index_near_dup_pairs(spark, idx, threshold=0.9).collect()
+    }
+    want = {
+        (r.a, r.b, r.cos_sim)
+        for r in S.embedding_near_dup_pairs(e, threshold=0.9, n_bits=8).collect()
+    }
+    assert got == want
+
+
+def test_lsh_index_empty_and_dim_mismatch(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty = spark.createDataFrame([(1, None)], schema)  # all-NULL vectors
+    idx = str(tmp_path / "lsh_empty")
+    meta = S.build_lsh_index(empty, idx)
+    assert meta["empty"]
+    out = S.lsh_index_topk(spark, idx, [1.0, 0.0], k=5)
+    assert out.count() == 0 and out.columns == ["vec_id", "cos_sim"]
+    assert S.lsh_index_near_dup_pairs(spark, idx).count() == 0
+    full = spark.createDataFrame([(1, [1.0, 0.0])], schema)
+    idx2 = str(tmp_path / "lsh_2d")
+    S.build_lsh_index(full, idx2)
+    with pytest.raises(ValueError, match="dim"):
+        S.lsh_index_topk(spark, idx2, [1.0, 0.0, 0.0], k=5)
+
+
+# -------------------------------------------------------------------------
+# batch_topk_pandas: local per-batch top-k, no Window node
+# -------------------------------------------------------------------------
+
+
+def test_batch_topk_no_window_and_matches_per_query_topk(spark, sf_dir):
+    e = _emb(spark, sf_dir).filter("vec_id <> 0").limit(400)
+    qs = [
+        list(r["embedding"])
+        for r in _emb(spark, sf_dir).filter("vec_id in (0, 1)").collect()
+    ]
+    out = S.batch_topk_pandas(e, qs, k=6)
+    assert "Window" not in checks.explain_str(out, "simple")
+    got = {
+        (r.query_id, r.vec_id)
+        for r in out.collect()
+    }
+    for qi, qv in enumerate(qs):
+        want = [r.vec_id for r in S.brute_force_topk(e, qv, k=6).collect()]
+        assert {(qi, v) for v in want} == {g for g in got if g[0] == qi}
+
+
+def test_batch_topk_tie_break_matches_global_order(spark):
+    """Boundary ties must resolve by id ASC exactly as a global sort
+    would — the per-batch pre-reduction is only lossless if it uses the
+    same total order."""
+    # 6 identical vectors (all ties) with shuffled ids, k=3 -> ids 1,2,3
+    rows = [(i, [1.0, 1.0]) for i in (30, 2, 14, 1, 3, 99)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).repartition(3)
+    out = S.batch_topk_pandas(df, [[2.0, 2.0]], k=3).collect()
+    assert sorted(r.vec_id for r in out) == [1, 2, 3]
+
+
+def test_batch_topk_drops_zero_norm_rows_entirely(spark):
+    """Zero-norm/NULL vectors have no cosine: they must never appear,
+    even when fewer than k valid rows exist."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None)], schema
+    )
+    out = S.batch_topk_pandas(df, [[1.0, 0.0]], k=5).collect()
+    assert [(r.query_id, r.vec_id) for r in out] == [(0, 1)]
+
+
+# -------------------------------------------------------------------------
+# IVF write-salt
+# -------------------------------------------------------------------------
+
+
+def test_ivf_salted_write_splits_hot_centroid(spark, tmp_path):
+    """90%-one-centroid skew: the salted build must write that centroid's
+    partition as >1 file (i.e. >1 write task touched it) with results
+    identical to the unsalted index."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(1, 400):
+        if i % 10 == 0:
+            v = rng.randn(8)  # scattered tail
+        else:
+            v = np.array([10.0] * 8) + rng.randn(8) * 0.01  # hot cluster
+        rows.append((i, [float(x) for x in v]))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    plain = str(tmp_path / "ivf_plain")
+    salted = str(tmp_path / "ivf_salted")
+    S.build_ivf_index(df, plain, n_centroids=4)
+    S.build_ivf_index(df, salted, n_centroids=4, salt_buckets=8)
+    # find the hot centroid (most members) in the salted index
+    m = spark.read.parquet(os.path.join(salted, "members"))
+    hot = m.groupBy("cid").count().orderBy(F.desc("count")).first()["cid"]
+    hot_files = (
+        m.filter(F.col("cid") == hot)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert hot_files > 1, hot_files
+    qv = [10.0] * 8
+    got = S.ivf_index_topk(spark, salted, qv, k=12, nprobe=2).collect()
+    want = S.ivf_index_topk(spark, plain, qv, k=12, nprobe=2).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
