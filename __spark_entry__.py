@@ -511,13 +511,13 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Table lives on the SAME tmpfs work root bench.py uses (r3's driver
     # artifact showed a 2.8x roundtrip swing when this wrote under /tmp's
-    # ext4 while the replay bench wrote to /dev/shm). ONE dir per
-    # (process, sf_dir), wiped and rebuilt per call: tmpfs is RAM, so a
-    # median-of-N bench looping this query must not accumulate N table
-    # copies (the previous call's lazily-returned DataFrame is already
-    # collected by then — bench and driver both collect before re-
-    # invoking). Cleanup is the shared dead-pid sweep (tbl_rt_<pid>
-    # matches benchkit's tbl_* glob) plus one atexit rmtree.
+    # ext4 while the replay bench wrote to /dev/shm). Per-call subdirs,
+    # previous call's dir retained (see below): tmpfs is RAM, so a
+    # median-of-N bench looping this query stays bounded at 2 copies,
+    # while a caller that collects a previously returned lazy frame
+    # after a second call still reads a live table. Cleanup is the
+    # shared dead-pid sweep (tbl_rt_<pid> matches benchkit's tbl_* glob)
+    # plus one atexit rmtree.
     base = work_root()
     os.makedirs(base, exist_ok=True)
     sweep_stale_tables(base)
@@ -539,7 +539,24 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(proc_dir):
         os.makedirs(proc_dir)
         atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
-    root = os.path.join(proc_dir, sf_dir.strip("/").replace("/", "_"))
+    # per-CALL subdir, not per-sf_dir: the returned DataFrame is lazy,
+    # and a caller holding two roundtrip results and collecting them
+    # after both calls must not read a wiped table. Older siblings are
+    # swept with the immediately previous call's dir retained, so tmpfs
+    # growth stays bounded at 2 table copies per (pid, sf_dir) while
+    # the last returned frame stays readable.
+    sf_tag = sf_dir.strip("/").replace("/", "_")
+    seq = _RT_CALL_SEQ.setdefault(sf_tag, 0)
+    _RT_CALL_SEQ[sf_tag] = seq + 1
+    for d in os.listdir(proc_dir):
+        if d.startswith(f"{sf_tag}_c"):
+            try:
+                older = int(d.rsplit("_c", 1)[1]) < seq - 1
+            except ValueError:
+                older = False
+            if older:
+                shutil.rmtree(os.path.join(proc_dir, d), ignore_errors=True)
+    root = os.path.join(proc_dir, f"{sf_tag}_c{seq}")
     shutil.rmtree(root, ignore_errors=True)
     table = SnapshotTable(
         spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
@@ -601,6 +618,7 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_INDEX_CACHE: dict[str, str] = {}
+_RT_CALL_SEQ: dict[str, int] = {}
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,9 +818,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_z
             FROM events ORDER BY event_id
         """,
+        # typed-parse NULL semantics mirrored exactly: Spark's
+        # from_json('k int') NULLs out a string-typed {"k":"5"}, a float
+        # 5.0, and an out-of-int32-range value (Jackson token/range
+        # check), where a bare CAST(json_extract_string(...)) would
+        # coerce them — the type+range guard makes DuckDB NULL the same
+        # rows, independent of what the generator happens to emit
         "json_extract": """
             SELECT event_id,
-                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+                   CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                         AND CAST(json_extract(props, '$.k') AS BIGINT)
+                             BETWEEN -2147483648 AND 2147483647
+                        THEN CAST(json_extract(props, '$.k') AS INTEGER)
+                   END AS k_val
             FROM events ORDER BY event_id
         """,
         "hourly_counts": """

@@ -183,10 +183,16 @@ def read_silver(
         # (partition type inference would otherwise turn yyyy-MM-dd dirs
         # into DateType on a non-empty read while the empty-type fallback
         # declares string — the same consumer would see two dtypes and
-        # unions across them would fail or silently cast)
+        # unions across them would fail or silently cast). record_type
+        # (the other partition column) is declared too: pre-r4 inference
+        # surfaced it, and a consumer selecting it must not regress to
+        # AnalysisException just because the schema became explicit.
         schema = T.StructType(
             list(RECORD_SCHEMAS[record_type].fields)
-            + [T.StructField("dt", T.StringType())]
+            + [
+                T.StructField("record_type", T.StringType()),
+                T.StructField("dt", T.StringType()),
+            ]
         )
         path = f"{silver_root}/record_type={record_type}"
         if not os.path.isdir(path):

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SEQ_COL = "_seq"
+DEL_COL = "_deleted"  # tombstone: key deleted at _seq (soft delete —
+# keeps the seq watermark so the MERGE guard protects deletes too)
 EPOCHS_PROP = "engine.committed_epochs"
 
 
@@ -62,13 +64,24 @@ class IcebergTable:
     ``state`` / ``committed_epochs``). The change batch is first reduced
     key-locally (dedup + LWW via one partial-aggregable ``max_by`` — the
     same single-shuffle reduction the filesystem backend uses), then a
-    three-arm MERGE INTO applies it with the ``seq > _seq`` idempotency
-    guard. The applied-epoch ledger rides in a table property so a
-    replayed epoch is skipped without scanning data. The property
-    update is a separate commit from the MERGE, so a crash between the
-    two leaves the epoch applied but unledgered — harmless: the replay
-    re-runs the MERGE and every row fails the ``seq > _seq`` guard
-    (the ledger is an optimization, the guard is the invariant)."""
+    MERGE INTO applies it with the ``seq > _seq`` idempotency guard.
+
+    Deletes are SOFT (an ``_deleted`` tombstone flag, mirrored from
+    SnapshotTable's ``_deleted`` column, snapshot.py:283): a physical
+    DELETE would discard the key's seq watermark, letting any replay the
+    ledger misses re-insert the row via the NOT MATCHED arm. With the
+    tombstone, the seq guard protects deletes exactly like updates —
+    'a late lower-seq update cannot resurrect the row' holds on this
+    backend too. ``state()`` filters tombstones out. The applied-epoch
+    ledger rides in a table property so a replayed epoch is skipped
+    without scanning data; the property update is a separate commit from
+    the MERGE, so a crash between the two leaves the epoch applied but
+    unledgered — harmless: the replay re-runs the MERGE and every row
+    fails the ``seq > _seq`` guard (the ledger is an optimization, the
+    guard is the invariant). The read-MERGE-SET property sequence is not
+    atomic across WRITERS: concurrent writers to one table need an
+    external lock (single-writer is the documented requirement, same as
+    the filesystem backend's manifest swap)."""
 
     def __init__(self, spark: SparkSession, ident: str, key_col: str = "doc_id"):
         self.spark = spark
@@ -83,11 +96,20 @@ class IcebergTable:
         # ledger, erasing the replay gate for every prior epoch
         if not self.exists():
             return set()
+        # SHOW TBLPROPERTIES is the documented Spark SQL surface for
+        # Iceberg table properties — the metadata tables
+        # (<tbl>.snapshots/.files/...) include no `properties` relation,
+        # so a SELECT against it raises on a real runtime. Read the full
+        # (key, value) listing and filter client-side: the single-key
+        # form's behavior for an UNSET key differs across Spark
+        # versions (v1 returns a message row, v2 an empty result).
         rows = self.spark.sql(
-            f"SELECT value FROM {_q(self.ident)}.properties"
-            f" WHERE key = '{EPOCHS_PROP}'"
+            f"SHOW TBLPROPERTIES {_q(self.ident)}"
         ).collect()
-        return set(json.loads(rows[0][0])) if rows else set()
+        for r in rows:
+            if r["key"] == EPOCHS_PROP:
+                return set(json.loads(r["value"]))
+        return set()
 
     def has_epoch(self, epoch_id: str) -> bool:
         return str(epoch_id) in self.committed_epochs()
@@ -97,7 +119,11 @@ class IcebergTable:
         return self.spark.catalog.tableExists(self.ident)
 
     def state(self) -> DataFrame:
-        return self.spark.table(self.ident).drop(SEQ_COL)
+        return (
+            self.spark.table(self.ident)
+            .filter(~F.col(DEL_COL))
+            .drop(SEQ_COL, DEL_COL)
+        )
 
     # -- merge -------------------------------------------------------
     def _reduce(self, batch: DataFrame) -> DataFrame:
@@ -144,29 +170,41 @@ class IcebergTable:
                 if f.name in payload
             )
             self.spark.sql(
-                f"CREATE TABLE {_q(self.ident)} ({cols}, `{SEQ_COL}` BIGINT)"
+                f"CREATE TABLE {_q(self.ident)} ({cols},"
+                f" `{SEQ_COL}` BIGINT, `{DEL_COL}` BOOLEAN)"
                 f" USING iceberg"
             )
         reduced.createOrReplaceTempView("__merge_batch")
-        # _seq rides in every arm, so set_clause is never empty even for
-        # a key-only schema (pure tombstone streams): a bare
-        # 'UPDATE SET , ...' is a parse error
+        # deletes are soft (the UPDATE arm sets the tombstone flag) and
+        # delete-of-unseen-key INSERTS a tombstone row — both keep the
+        # key's seq watermark, exactly like SnapshotTable's merge
+        # (snapshot.py: 'deletes are NOT dropped: they persist as
+        # tombstone rows'), so a replayed or late lower-seq update can
+        # never resurrect a deleted row. _seq/_deleted ride in every
+        # arm, so set_clause is never empty even for a key-only schema.
         set_clause = ", ".join(
             [f"t.`{c}` = b.`{c}`" for c in payload if c != self.key_col]
-            + [f"t.`{SEQ_COL}` = b.seq"]
+            + [
+                f"t.`{SEQ_COL}` = b.seq",
+                f"t.`{DEL_COL}` = (b.op = 'delete')",
+            ]
         )
-        ins_cols = ", ".join(f"`{c}`" for c in payload) + f", `{SEQ_COL}`"
-        ins_vals = ", ".join(f"b.`{c}`" for c in payload) + ", b.seq"
+        ins_cols = (
+            ", ".join(f"`{c}`" for c in payload)
+            + f", `{SEQ_COL}`, `{DEL_COL}`"
+        )
+        ins_vals = (
+            ", ".join(f"b.`{c}`" for c in payload)
+            + ", b.seq, (b.op = 'delete')"
+        )
         self.spark.sql(
             f"""
             MERGE INTO {_q(self.ident)} t
             USING __merge_batch b
             ON t.`{self.key_col}` = b.`{self.key_col}`
-            WHEN MATCHED AND b.op = 'delete' AND b.seq > t.`{SEQ_COL}`
-              THEN DELETE
-            WHEN MATCHED AND b.op != 'delete' AND b.seq > t.`{SEQ_COL}`
+            WHEN MATCHED AND b.seq > t.`{SEQ_COL}`
               THEN UPDATE SET {set_clause}
-            WHEN NOT MATCHED AND b.op != 'delete'
+            WHEN NOT MATCHED
               THEN INSERT ({ins_cols}) VALUES ({ins_vals})
             """
         )

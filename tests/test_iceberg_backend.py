@@ -46,17 +46,22 @@ def test_iceberg_merge_replay_idempotent_lww(spark, tmp_path):
     state = {r.doc_id: r.text for r in t.state().collect()}
     assert state == {"a": "a3", "c": "c4"}  # b deleted, stale update lost
     # ledger-less replay (fresh backend object, epoch id changed) is
-    # still a no-op through the seq > _seq guard
+    # still a no-op through the seq > _seq guard — INCLUDING for the
+    # deleted key: deletes are soft tombstones that keep b's seq-5
+    # watermark, so e0's seq-2 insert of b hits the MATCHED arm and
+    # fails the guard instead of resurrecting via NOT MATCHED
     t2 = I.IcebergTable(spark, "it.db.docs", key_col="doc_id")
     t2.merge_epoch(e0, "e0-replayed")
     state2 = {r.doc_id: r.text for r in t2.state().collect()}
-    # a keeps seq 3; b stays deleted only if its delete seq survives —
-    # b was deleted, so e0's seq-2 insert re-inserts it ONLY via the
-    # NOT MATCHED arm; Iceberg MERGE has no tombstone memory, which is
-    # exactly why the engine's ledger (or upstream offset tracking)
-    # gates replays of ALREADY-COMMITTED epochs rather than relying on
-    # the guard alone for deletes
-    assert state2["a"] == "a3"
+    assert state2 == {"a": "a3", "c": "c4"}
+    # a genuinely NEWER write to the deleted key (seq above the
+    # tombstone's) un-deletes it — LWW against the tombstone, same as
+    # SnapshotTable
+    t2.merge_epoch(
+        spark.createDataFrame([Row(op="update", doc_id="b", seq=9, text="b9")]),
+        "e2",
+    )
+    assert {r.doc_id: r.text for r in t2.state().collect()}["b"] == "b9"
 
 
 def test_iceberg_probe_never_raises(spark):

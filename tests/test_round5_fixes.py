@@ -198,3 +198,107 @@ def test_ivf_salted_write_splits_hot_centroid(spark, tmp_path):
     assert [(r.vec_id, r.score) for r in got] == [
         (r.vec_id, r.score) for r in want
     ]
+
+
+# -------------------------------------------------------------------------
+# ADVICE fixes
+# -------------------------------------------------------------------------
+
+
+def test_read_silver_per_type_surfaces_record_type(spark, tmp_path):
+    """The declared per-type schema must keep the record_type partition
+    column that inference used to surface (output-schema contract)."""
+    from aws_serverless_elt_pipeline_enterprise_spark.sources import jsonl as J
+
+    rt = next(iter(J.RECORD_SCHEMAS))
+    # build one silver row of this type via the normal write path
+    fields = {f.name: f for f in J.RECORD_SCHEMAS[rt].fields}
+    row = {}
+    for name, f in fields.items():
+        if f.dataType.simpleString() == "string":
+            row[name] = "x"
+        elif f.dataType.simpleString() in ("bigint", "int"):
+            row[name] = 1
+        elif f.dataType.simpleString() == "double":
+            row[name] = 1.0
+        else:
+            row[name] = None
+    df = spark.createDataFrame([row], J.RECORD_SCHEMAS[rt]).withColumn(
+        "record_type", F.lit(rt)
+    ).withColumn("dt", F.lit("2024-01-01"))
+    J.write_silver(df, str(tmp_path / "silver"))
+    out = J.read_silver(spark, str(tmp_path / "silver"), record_type=rt)
+    assert "record_type" in out.columns and "dt" in out.columns
+    got = out.select("record_type", "dt").first()
+    assert (got["record_type"], got["dt"]) == (rt, "2024-01-01")
+    # empty-type branch: same schema, zero rows
+    other = [t for t in J.RECORD_SCHEMAS if t != rt]
+    if other:
+        empty = J.read_silver(spark, str(tmp_path / "silver"), record_type=other[0])
+        assert "record_type" in empty.columns and empty.count() == 0
+
+
+def test_json_extract_oracle_matches_typed_parse_semantics(spark, tmp_path):
+    """A string-typed {"k":"5"}, a float 5.0, and an out-of-int32 value
+    must NULL out identically in the Spark query and the DuckDB oracle
+    (the oracle's type+range guard mirrors from_json('k int'))."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    rows = [
+        (1, '{"k": 5}'),
+        (2, '{"k": "5"}'),
+        (3, '{"k": 5.0}'),
+        (4, '{"k": 5000000000}'),
+        (5, '{"j": 1}'),
+        (6, None),
+    ]
+    sdf = spark.createDataFrame(rows, ["event_id", "props"])
+    got = {
+        r.event_id: r.k_val
+        for r in sdf.select(
+            "event_id",
+            F.from_json("props", "k int").getField("k").alias("k_val"),
+        ).collect()
+    }
+    assert got == {1: 5, 2: None, 3: None, 4: None, 5: None, 6: None}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {('NULL' if p is None else repr(p))})" for i, p in rows
+        )
+        + ") t(event_id, props)"
+    )
+    want = dict(con.execute(m.oracle_sql()["json_extract"]).fetchall())
+    assert {k: (None if v is None else int(v)) for k, v in want.items()} == got
+
+
+def test_roundtrip_previous_result_survives_next_call(spark):
+    """Two roundtrip calls; the FIRST call's lazily returned frame must
+    still collect after the second call ran (per-call table dirs)."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    df1 = m.q_cdc_replay_roundtrip(spark, sf)
+    df2 = m.q_cdc_replay_roundtrip(spark, sf)
+    rows2 = df2.collect()
+    rows1 = df1.collect()  # collected AFTER call 2 built its table
+    assert rows1 == rows2 and len(rows1) > 0
+
+
+def test_iceberg_merge_sql_has_soft_delete_arms():
+    """Sandbox-executable slice of the soft-delete fix: the generated
+    MERGE must not contain a physical DELETE arm, and state() must
+    filter the tombstone flag (full semantics run under a real runtime
+    in test_iceberg_backend.py)."""
+    import inspect
+
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio import iceberg as I
+
+    src = inspect.getsource(I.IcebergTable.merge_epoch)
+    assert "THEN DELETE" not in src
+    assert I.DEL_COL == "_deleted"
+    st_src = inspect.getsource(I.IcebergTable.state)
+    assert "DEL_COL" in st_src
