@@ -396,6 +396,36 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "checksum").orderBy("media_id")
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL decoders (functions/multimodal.py:decode_real) under the
+    driver oracle: deterministic BMP/WAV/PNG payloads are synthesized
+    from doc_id (real headers AND pixel/PCM content — synth_payload),
+    decoded back through mapInPandas, and the oracle predicts every
+    decoded property from doc_id arithmetic without ever seeing the
+    bytes: dims from the header parse, duration through the stdlib WAV
+    parser, and mean-red from the full stride-aware BMP pixel decode
+    (solid fill -> exact mean; float32 feature storage mirrored with a
+    REAL round-trip cast in SQL)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synth_media(d)
+    meta = mm.decode_meta(media)
+    feats = mm.extract_features(media, fake=False).select("media_id", "features")
+    return (
+        meta.join(feats, "media_id")
+        .select(
+            "media_id",
+            "mime",
+            "width",
+            "height",
+            "duration_ms",
+            F.when(F.col("mime") == "image/bmp", F.get("features", 2))
+            .cast("double")
+            .alias("mean_r"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs the vec_id=0 embedding over
     floor-quantized integer components — exact bigint dot/norm sums plus
@@ -714,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
         "embedding_topk": q_embedding_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1001,6 +1032,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'm_' || CAST(doc_id AS VARCHAR) AS media_id,
                    octet_length(encode(text))      AS n_bytes,
                    sha256(text)                    AS checksum
+            FROM documents ORDER BY media_id
+        """,
+        # every decoded property is doc_id arithmetic (synth_payload's
+        # contract): the oracle never sees the bytes yet predicts the
+        # decode exactly. mean_r mirrors Spark's float32 feature storage
+        # with a REAL round-trip before the final DOUBLE.
+        "multimodal_decode": """
+            SELECT 'm_' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN 'image/bmp'
+                     WHEN 1 THEN 'audio/wav'
+                     ELSE 'image/png' END AS mime,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(1 + doc_id % 13 AS INTEGER)
+                        WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 31 AS INTEGER)
+                   END AS width,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(1 + doc_id % 7 AS INTEGER)
+                        WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 17 AS INTEGER)
+                   END AS height,
+                   CASE WHEN doc_id % 3 = 1
+                        THEN CAST(((100 + doc_id % 50) * 1000) // 8000 AS BIGINT)
+                   END AS duration_ms,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(CAST(CAST(doc_id % 256 AS DOUBLE) / 255.0
+                                       AS REAL) AS DOUBLE)
+                   END AS mean_r
             FROM documents ORDER BY media_id
         """,
         # Full-chain oracles for the similarity family: the engine queries

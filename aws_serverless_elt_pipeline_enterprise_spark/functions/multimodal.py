@@ -79,6 +79,80 @@ def attach_binary_from_text(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def synth_payload(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic REAL media payload derived from one integer id —
+    the fixture generator for exercising ``decode_real`` under an
+    external oracle: every decodable property (dims, duration, solid
+    fill color) is pure doc_id arithmetic, so a SQL engine that never
+    sees the bytes can still predict the decode output exactly.
+
+    id % 3 == 0: 24-bit BMP, w=1+id%13, h=1+id%7, solid RGB
+                 (id%256, id*7%256, id*13%256) — full pixel payload, so
+                 the stride-aware numpy decode runs, not just headers.
+    id % 3 == 1: WAV PCM-16 mono, 8000 Hz, 100+id%50 silent frames
+                 (duration_ms = n*1000//8000 via the stdlib parser).
+    id % 3 == 2: PNG IHDR, w=1+id%31, h=1+id%17 (header-only format
+                 tier)."""
+    m = doc_id % 3
+    if m == 0:
+        w, h = 1 + doc_id % 13, 1 + doc_id % 7
+        r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
+        stride = (w * 3 + 3) & ~3
+        row = (bytes([b, g, r]) * w) + b"\x00" * (stride - w * 3)
+        px = row * h
+        off = 54
+        header = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+        )
+        return "image", bytes(header + info + px)
+    if m == 1:
+        n = 100 + doc_id % 50
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"\x00\x00" * n)
+        return "audio", buf.getvalue()
+    w, h = 1 + doc_id % 31, 1 + doc_id % 17
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    )
+    return "image", png
+
+
+def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table from an id column (mapInPandas — the
+    builders run Arrow-batch-columnar like any decode stage would).
+    Returns (media_id, kind, payload) with ``synth_payload`` bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            built = [synth_payload(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ["m_" + str(int(i)) for i in pdf[id_col]],
+                    "kind": [k for k, _ in built],
+                    "payload": [p for _, p in built],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=SYNTH_SCHEMA)
+
+
 def decode_real(p: bytes) -> dict | None:
     """Real, stdlib+numpy-only decode for the formats whose containers
     are fully specified without external codecs. Returns a dict with

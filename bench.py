@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "lang_id",
     "token_counts",
     "multimodal_meta",
+    "multimodal_decode",
     "embedding_topk",
     "minhash_lsh_pairs",
     "simhash_pairs",

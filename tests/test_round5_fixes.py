@@ -302,3 +302,33 @@ def test_iceberg_merge_sql_has_soft_delete_arms():
     assert I.DEL_COL == "_deleted"
     st_src = inspect.getsource(I.IcebergTable.state)
     assert "DEL_COL" in st_src
+
+
+def test_synth_media_roundtrips_through_real_decoders(spark):
+    """synth_payload's doc_id arithmetic contract IS the oracle: decode
+    must return exactly the predicted dims/duration/fill-mean."""
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import multimodal as M
+
+    ids = spark.createDataFrame([(i,) for i in range(30)], ["doc_id"])
+    media = M.synth_media(ids)
+    meta = {r.media_id: r for r in M.decode_meta(media).collect()}
+    feats = {
+        r.media_id: r for r in M.extract_features(media, fake=False).collect()
+    }
+    for i in range(30):
+        mid, m = f"m_{i}", i % 3
+        if m == 0:
+            assert (meta[mid].mime, meta[mid].width, meta[mid].height) == (
+                "image/bmp", 1 + i % 13, 1 + i % 7,
+            )
+            import numpy as np
+
+            want_r = np.float32((i % 256) / 255.0)
+            assert feats[mid].features[2] == want_r
+        elif m == 1:
+            assert meta[mid].mime == "audio/wav"
+            assert meta[mid].duration_ms == (100 + i % 50) * 1000 // 8000
+        else:
+            assert (meta[mid].mime, meta[mid].width, meta[mid].height) == (
+                "image/png", 1 + i % 31, 1 + i % 17,
+            )
