@@ -114,6 +114,15 @@ def ngram_jaccard_pairs(
     10^12-row expansion. Capped semantics are exact and oracle-checkable:
     Jaccard over the discriminative (rare) shingle sets."""
     sh = shingle_explode(df, key, text, n)
+    return _pairs_from_shingle_rows(sh, key, threshold, df_cap)
+
+
+def _pairs_from_shingle_rows(
+    sh: DataFrame, key: str, threshold: float, df_cap: int | None
+) -> DataFrame:
+    """Jaccard pair generation from exploded (key, shingle) rows — split
+    out so ``dedup_pipeline`` can feed one shared shingle pass instead of
+    re-tokenizing the corpus per consumer."""
     if df_cap is not None:
         # posting-list formulation: the inverted index groups on the
         # shingle; pair expansion is map-side and bounded by C(df_cap, 2)
@@ -256,10 +265,18 @@ def minhash_signatures(
     [INTERNAL_ERROR] Cannot evaluate expression (session-order-dependent
     planner behavior on Spark 4.1) — a flaky correctness gate is worth
     more than 15% on one stage."""
-    sh = word_shingles(text, n)
-    base = df.select(F.col(key), sh.alias("_sh")).filter(F.size("_sh") > 0)
+    shingled = df.select(F.col(key), word_shingles(text, n).alias("_sh"))
+    return _sigs_from_shingled(shingled, key, "_sh", k, seed, hash_mode)
+
+
+def _sigs_from_shingled(
+    shingled: DataFrame, key: str, shcol: str, k: int, seed: int, hash_mode: str
+) -> DataFrame:
+    """Signatures from a frame that already carries the shingle array —
+    the ``dedup_pipeline`` entry point (shared tokenization)."""
+    base = shingled.filter(F.size(shcol) > 0)
     return base.select(
-        F.col(key), _minhash_sig(F.col("_sh"), k, seed, hash_mode).alias("sig")
+        F.col(key), _minhash_sig(F.col(shcol), k, seed, hash_mode).alias("sig")
     )
 
 
@@ -604,10 +621,14 @@ def simhash64(text_col: str = "text", hash_mode: str = "xxhash64") -> F.Column:
     Single-fold formulation: Spark cannot CSE across lambda scopes, so 63
     separate aggregates would re-hash every word 63 times. Instead ONE
     fold keeps a 63-wide counter array updated with zip_with."""
+    return simhash_from_words(F.array_distinct(words(text_col)), hash_mode)
+
+
+def simhash_from_words(wcol: F.Column, hash_mode: str = "xxhash64") -> F.Column:
+    """simhash64 over an ALREADY-distinct words array (the
+    ``dedup_pipeline`` entry point — tokenization shared upstream)."""
     masks = F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
-    wh = F.transform(
-        F.array_distinct(words(text_col)), lambda t: _hash64(t, hash_mode)
-    )
+    wh = F.transform(wcol, lambda t: _hash64(t, hash_mode))
     counters = F.aggregate(
         wh,
         F.array_repeat(F.lit(0), 63),
@@ -654,6 +675,15 @@ def simhash_near_dup_pairs(
         .select(F.col(key), simhash64(text, hash_mode).alias("sh"))
         .persist()
     )
+    return _simhash_pairs_from_sigs(sh, key, max_hamming)
+
+
+def _simhash_pairs_from_sigs(
+    sh: DataFrame, key: str, max_hamming: int
+) -> DataFrame:
+    """Block-bucket candidate join + Hamming verify over a (key, sh)
+    signature frame (caller persists it — both join sides and the 4
+    block branches reuse it)."""
     blocks = sh.select(
         key,
         "sh",
@@ -685,3 +715,72 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    max_hamming: int = 3,
+    cluster_algorithm: str = "auto",
+) -> dict[str, DataFrame]:
+    """The whole near-dup family over ONE tokenization pass. Standalone,
+    each member re-reads and re-tokenizes the corpus (words + shingles
+    are the shared prefix of every signature), and ``dup_clusters``
+    consumers re-run the full Jaccard pair chain; here the corpus is
+    scanned once into a persisted (key, words, shingles, fingerprint)
+    frame and the pair set feeding the clusters is the SAME frame the
+    jaccard output returns. At 100 TB the savings is a full corpus scan
+    + tokenize per member — 4 scans collapse to 1.
+
+    Returns lazily-evaluated frames keyed: ``exact`` (keeper, n_copies),
+    ``ngram_pairs`` (a, b, jaccard), ``clusters`` (doc_id, cluster),
+    ``minhash_pairs`` (a, b, jaccard_est), ``simhash_pairs`` (a, b,
+    hamming). Each is bit-identical to its standalone function at the
+    same parameters (tested). The persisted intermediates live until the
+    session drops them — call ``spark.catalog.clearCache()`` when done."""
+    base = (
+        df.filter(F.col(text).isNotNull())
+        .select(
+            F.col(key),
+            F.array_distinct(words(text)).alias("_w"),
+            word_shingles(text, n).alias("_sh"),
+            content_fingerprint(text).alias("_fp"),
+        )
+        .persist()
+    )
+    exact = (
+        base.groupBy("_fp")
+        .agg(F.min(key).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keeper", "n_copies")
+    )
+    sh_rows = base.select(F.col(key), F.explode("_sh").alias("shingle"))
+    ngram_pairs = _pairs_from_shingle_rows(sh_rows, key, threshold, df_cap).persist()
+    clusters = dup_clusters(ngram_pairs, algorithm=cluster_algorithm)
+    sigs = _sigs_from_shingled(
+        base.select(key, "_sh"), key, "_sh", k, seed, hash_mode
+    ).persist()
+    minhash_pairs = _estimate_from_sigs(
+        _banded_candidates(_banded(sigs, key, k, bands, hash_mode), key), sigs, key, k
+    )
+    sim_sigs = (
+        base.filter(F.size("_w") > 0)
+        .select(F.col(key), simhash_from_words(F.col("_w"), hash_mode).alias("sh"))
+        .persist()
+    )
+    simhash_pairs = _simhash_pairs_from_sigs(sim_sigs, key, max_hamming)
+    return {
+        "exact": exact,
+        "ngram_pairs": ngram_pairs,
+        "clusters": clusters,
+        "minhash_pairs": minhash_pairs,
+        "simhash_pairs": simhash_pairs,
+    }

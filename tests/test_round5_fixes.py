@@ -332,3 +332,40 @@ def test_synth_media_roundtrips_through_real_decoders(spark):
             assert (meta[mid].mime, meta[mid].width, meta[mid].height) == (
                 "image/png", 1 + i % 31, 1 + i % 17,
             )
+
+
+def test_dedup_pipeline_matches_standalone_members(spark, sf_dir):
+    """One shared tokenization pass must be output-identical to every
+    standalone function at the same parameters."""
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import dedupe as D
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = D.dedup_pipeline(
+        docs, threshold=0.5, df_cap=100, hash_mode="portable"
+    )
+    try:
+        assert {tuple(r) for r in out["exact"].collect()} == {
+            tuple(r) for r in D.exact_dup_groups(docs).collect()
+        }
+        assert {tuple(r) for r in out["ngram_pairs"].collect()} == {
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(
+                docs, threshold=0.5, df_cap=100
+            ).collect()
+        }
+        assert {tuple(r) for r in out["minhash_pairs"].collect()} == {
+            tuple(r)
+            for r in D.minhash_lsh_pairs(docs, hash_mode="portable").collect()
+        }
+        assert {tuple(r) for r in out["simhash_pairs"].collect()} == {
+            tuple(r)
+            for r in D.simhash_near_dup_pairs(
+                docs, hash_mode="portable"
+            ).collect()
+        }
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, df_cap=100)
+        assert {tuple(r) for r in out["clusters"].collect()} == {
+            tuple(r) for r in D.dup_clusters(pairs).collect()
+        }
+    finally:
+        spark.catalog.clearCache()
