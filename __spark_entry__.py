@@ -693,6 +693,50 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_index_topk(spark, idx, list(qv), k=20, nprobe=4)
 
 
+_LSH_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN through the MATERIALIZED index path
+    (functions/similarity.py:build_lsh_index / lsh_index_topk): the
+    first call per sf_dir signs every vector ONCE (portable QUANTIZED
+    signature — integer projection, md5-derived ±1 weights) and writes
+    members PARTITIONED BY signature; each query then enumerates the
+    Hamming-3 ball driver-side (697 of 2^16 buckets) and reads only
+    those partitions. Scoring is exact integer cosine, so the ENTIRE
+    chain — quantize, sign, probe, score — is replayed bit-for-bit by
+    the DuckDB oracle (the one-shot xxhash64 mode stays the production
+    default; this is its oracle-checkable twin)."""
+    import atexit
+    import shutil
+
+    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
+        sweep_stale_tables,
+        work_root,
+    )
+
+    idx = _LSH_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        os.makedirs(work_root(), exist_ok=True)
+        sweep_stale_tables(work_root())
+        e = _t(spark, sf_dir, "embeddings")
+        idx = os.path.join(
+            work_root(), f"tbl_lsh_{os.getpid()}", sf_dir.strip("/").replace("/", "_")
+        )
+        sim.build_lsh_index(
+            e.filter(F.col("vec_id") != 0),
+            idx,
+            n_bits=16,
+            seed=42,
+            sig_mode="portable",
+        )
+        atexit.register(shutil.rmtree, os.path.dirname(idx), ignore_errors=True)
+        _LSH_INDEX_CACHE[sf_dir] = idx
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.lsh_index_topk(spark, idx, list(qv), k=20, probe_hamming=3)
+
+
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary frequency histogram (tokenizer/vocab stats every
     training pipeline computes): tokenize with the portable 60-bit hash
@@ -753,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_terms": q_mask_terms,
         "token_histogram": q_token_histogram,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
         "asof_attribution": q_asof_attribution,
         "sessionize": q_sessionize,
         "cdc_replay_roundtrip": q_cdc_replay_roundtrip,
@@ -781,6 +826,26 @@ def _qcos(a: str, b: str) -> str:
         f" / (sqrt(CAST(list_sum(list_transform({a}, x -> x*x)) AS DOUBLE))"
         f" * sqrt(CAST(list_sum(list_transform({b}, x -> x*x)) AS DOUBLE))))"
     )
+
+
+# the portable LSH weights are pure functions of (j, i, seed) via the md5
+# family — both the Spark signature and the oracle consume them as
+# LITERALS (dim=64 matches the driver testdata's embedding width at every
+# sf; build_lsh_index probes the real dim and would diverge loudly, not
+# silently, if the generator ever changed it)
+_LSH_W_SQL = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(str(w) for w in row) + "]"
+        for row in sim.portable_lsh_weights(64, 16, 42)
+    )
+    + "]"
+)
+_LSH_SIG_SUM = (
+    "CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(q)+1),"
+    " jj -> q[jj] * ws.w[i+1][jj])) > 0"
+    " THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1291,6 +1356,39 @@ def oracle_sql() -> dict[str, str]:
             FROM assign a CROSS JOIN qv
             WHERE a.cid IN (SELECT cid FROM probe)
             ORDER BY score DESC, a.vec_id LIMIT 20
+        """,
+        # full-chain portable-LSH oracle: quantize -> sign with the
+        # shared literal ±1 weights -> Hamming-3 ball (bit_count(xor),
+        # the same set the engine enumerates driver-side) -> exact
+        # integer cosine. Zero-norm rows are signed (sig 0) but
+        # excluded at scoring, mirroring lsh_index_topk.
+        "embedding_lsh_topk": f"""
+            WITH ws AS (
+              SELECT {_LSH_W_SQL} AS w
+            ), v AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS q
+              FROM embeddings WHERE vec_id <> 0
+            ), qv AS (
+              SELECT list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS q
+              FROM embeddings WHERE vec_id = 0
+            ), sigs AS (
+              SELECT vec_id, {_LSH_SIG_SUM} AS sig
+              FROM v, ws, range(0, 16) r(i) GROUP BY vec_id
+            ), qs AS (
+              SELECT {_LSH_SIG_SUM} AS sig
+              FROM qv, ws, range(0, 16) r(i)
+            ), cand AS (
+              SELECT v.vec_id, v.q
+              FROM v JOIN sigs USING (vec_id), qs
+              WHERE bit_count(xor(sigs.sig, qs.sig)) <= 3
+                AND list_sum(list_transform(v.q, x -> x*x)) > 0
+            )
+            SELECT c.vec_id, {_qcos("c.q", "qv.q")} AS score
+            FROM cand c CROSS JOIN qv
+            ORDER BY score DESC, c.vec_id LIMIT 20
         """,
         "token_histogram": """
             WITH tok AS (

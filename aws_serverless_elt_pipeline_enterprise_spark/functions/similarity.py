@@ -612,6 +612,70 @@ def hyperplane_signature(
     )
 
 
+def portable_lsh_weights(dim: int, n_bits: int, seed: int = 42) -> list[list[int]]:
+    """The ±1 hyperplane weights of the portable signature, as plain
+    ints: weight(i, j) = +1 iff the md5-derived 60-bit hash of
+    "j:i:seed" is even (the same portable_hash60 family the dedupe
+    oracles replay). Computed DRIVER-side with hashlib — the whole point
+    of the md5 family is that any engine (or plain Python) derives the
+    identical constants, so both Spark and the SQL oracle consume them
+    as LITERALS and the per-element hot path does zero hashing."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}:{i}:{seed}".encode()).hexdigest()[:15], 16) % 2
+            == 0
+            else -1
+            for j in range(dim)
+        ]
+        for i in range(n_bits)
+    ]
+
+
+def quantized_hyperplane_signature(
+    vec_col: str, dim: int, n_bits: int = 16, seed: int = 42, scale: int = 16384
+) -> F.Column:
+    """Engine-portable hyperplane signature: the projection runs over the
+    FLOOR-QUANTIZED integer components with ±1 literal weights
+    (``portable_lsh_weights``), so every arithmetic step is exact
+    integer math — an external SQL engine replays the identical bits (a
+    float-sum projection would depend on accumulation order at the last
+    ulp, which is exactly where a near-zero projection flips a bit).
+    Same single-fold shape as ``hyperplane_signature``; weights differ
+    (md5 family vs xxhash64), so signatures are NOT comparable across
+    the two modes."""
+    wlit = F.lit(
+        [[w for w in row] for row in portable_lsh_weights(dim, n_bits, seed)]
+    )
+    bit_idx = F.array(*[F.lit(i) for i in range(n_bits)])
+    masks = F.array(*[F.lit(1 << i) for i in range(n_bits)])
+    qv = _quantize(F.col(vec_col), scale)
+    pairs = F.zip_with(
+        qv,
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda x, j: F.struct(x.alias("x"), j.alias("j")),
+    )
+    projs = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, e: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, i: a
+            + e["x"] * F.element_at(F.element_at(wlit, i + 1), e["j"] + 1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            projs, masks, lambda p, m: F.when(p > 0, m).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -645,7 +709,22 @@ def lsh_topk(
     )
 
 
-def _query_signature(spark, query_vec: list[float], n_bits: int, seed: int) -> int:
+def _sig_expr(
+    vec_col: str, dim: int, n_bits: int, seed: int, sig_mode: str, scale: int
+) -> F.Column:
+    if sig_mode == "portable":
+        return quantized_hyperplane_signature(vec_col, dim, n_bits, seed, scale)
+    return hyperplane_signature(vec_col, dim, n_bits, seed)
+
+
+def _query_signature(
+    spark,
+    query_vec: list[float],
+    n_bits: int,
+    seed: int,
+    sig_mode: str = "xxhash64",
+    scale: int = 16384,
+) -> int:
     """The query's hyperplane signature, computed by the SAME JVM
     expression the table signatures use (one tiny 1-row job) — bit-exact
     parity matters more than avoiding a millisecond job, since xxhash64
@@ -653,7 +732,9 @@ def _query_signature(spark, query_vec: list[float], n_bits: int, seed: int) -> i
     qdf = spark.createDataFrame(
         [(query_vec,)],
         T.StructType([T.StructField("qv", T.ArrayType(T.FloatType()))]),
-    ).withColumn("qsig", hyperplane_signature("qv", len(query_vec), n_bits, seed))
+    ).withColumn(
+        "qsig", _sig_expr("qv", len(query_vec), n_bits, seed, sig_mode, scale)
+    )
     return qdf.collect()[0]["qsig"]
 
 
@@ -682,6 +763,8 @@ def build_lsh_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sig_mode: str = "xxhash64",
+    scale: int = 16384,
 ) -> dict:
     """Materialize the hyperplane-LSH index at ``path``: (id, vector,
     signature) written PARTITIONED BY signature under ``members/``, build
@@ -690,6 +773,12 @@ def build_lsh_index(
     then read only the buckets they probe — at 10^10 vectors a 16-bit
     signature splits the table into <=65536 partitions and a
     radius-2 probe touches 137 of them.
+
+    ``sig_mode="portable"`` signs over the floor-quantized integer
+    projection with the md5-derived hash family
+    (``quantized_hyperplane_signature``) so an external SQL engine can
+    replay the signature bits exactly (the driver oracle path); the
+    default xxhash64 mode is the faster production signature.
 
     NULL vectors are excluded (no signature, and cosine against them is
     NULL anyway); zero-norm vectors keep lsh_topk's semantics (signature
@@ -705,6 +794,8 @@ def build_lsh_index(
         "vec_col": vec_col,
         "n_bits": n_bits,
         "seed": seed,
+        "sig_mode": sig_mode,
+        "scale": scale,
         "dim": len(first[0]) if first is not None else 0,
         "empty": first is None,
         "id_type": df.schema[id_col].dataType.json(),
@@ -713,7 +804,9 @@ def build_lsh_index(
         sigs = rows.select(
             F.col(id_col),
             F.col(vec_col),
-            hyperplane_signature(vec_col, meta["dim"], n_bits, seed).alias("sig"),
+            _sig_expr(vec_col, meta["dim"], n_bits, seed, sig_mode, scale).alias(
+                "sig"
+            ),
         )
         (
             sigs.repartition("sig")
@@ -755,13 +848,15 @@ def lsh_index_topk(
     import os as _os
 
     meta = _read_lsh_meta(path)
+    portable = meta.get("sig_mode", "xxhash64") == "portable"
+    score_col = "score" if portable else "cos_sim"
     if meta["empty"]:
         return spark.createDataFrame(
             [],
             T.StructType(
                 [
                     T.StructField(meta["id_col"], _id_type(meta)),
-                    T.StructField("cos_sim", T.DoubleType()),
+                    T.StructField(score_col, T.DoubleType()),
                 ]
             ),
         )
@@ -769,17 +864,38 @@ def lsh_index_topk(
         raise ValueError(
             f"query dim {len(query_vec)} != index dim {meta['dim']}"
         )
-    qsig = _query_signature(spark, query_vec, meta["n_bits"], meta["seed"])
+    qsig = _query_signature(
+        spark,
+        query_vec,
+        meta["n_bits"],
+        meta["seed"],
+        meta.get("sig_mode", "xxhash64"),
+        meta.get("scale", 16384),
+    )
     probe = _hamming_ball(qsig, meta["n_bits"], probe_hamming)
     members = spark.read.parquet(_os.path.join(path, "members"))
     cand = members.filter(F.col("sig").isin(probe))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if portable:
+        # engine-exact scoring to pair with the engine-exact signature:
+        # the whole chain (quantize -> sign -> probe -> score) is then
+        # replayable by an external SQL engine bit for bit
+        qlit, nb = _quantize_query(query_vec, meta.get("scale", 16384))
+        if nb == 0:
+            raise ValueError("zero-norm query vector: cosine undefined")
+        qn = F.sqrt(F.lit(float(nb)))
+        qd = cand.select(
+            F.col(id_col),
+            _quantize(F.col(vec_col), meta.get("scale", 16384)).alias("qv"),
+        ).withColumn("nv", _qnorm(F.col("qv")))
+        return _score_topk(qd.filter(F.col("nv") > 0), qlit, qn, k, id_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
-            F.col(meta["id_col"]),
-            cosine(F.col(meta["vec_col"]), q).alias("cos_sim"),
+            F.col(id_col),
+            cosine(F.col(vec_col), q).alias("cos_sim"),
         )
-        .orderBy(F.desc("cos_sim"), F.col(meta["id_col"]))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
 

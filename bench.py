@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "mask_terms",
     "token_histogram",
     "embedding_ivf_topk",
+    "embedding_lsh_topk",
     "asof_attribution",
     "sessionize",
     "cdc_replay_roundtrip",

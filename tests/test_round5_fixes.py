@@ -369,3 +369,95 @@ def test_dedup_pipeline_matches_standalone_members(spark, sf_dir):
         }
     finally:
         spark.catalog.clearCache()
+
+
+# -------------------------------------------------------------------------
+# Portable (quantized, md5-weight) LSH signature mode
+# -------------------------------------------------------------------------
+
+
+def test_portable_lsh_weights_deterministic_and_mixed():
+    w = S.portable_lsh_weights(8, 4, seed=42)
+    assert w == S.portable_lsh_weights(8, 4, seed=42)
+    assert w != S.portable_lsh_weights(8, 4, seed=43)
+    flat = [x for row in w for x in row]
+    assert set(flat) <= {-1, 1} and len(set(flat)) == 2
+
+
+def test_portable_lsh_index_recall_and_determinism(spark, sf_dir, tmp_path):
+    """The portable index must surface planted near-dups through the
+    Hamming-ball probe and return identical rows across two calls
+    (integer chain: no float nondeterminism anywhere)."""
+    e = _emb(spark, sf_dir)
+    qv = list(e.filter("vec_id = 0").first()["embedding"])
+    planted = [
+        (200000 + i, [float(x) * (1.0 + 0.002 * i) + 0.001 * i for x in qv])
+        for i in range(1, 4)
+    ]
+    rest = e.filter("vec_id <> 0").select("vec_id", "embedding").union(
+        spark.createDataFrame(
+            planted, e.select("vec_id", "embedding").schema
+        )
+    )
+    idx = str(tmp_path / "lshp")
+    meta = S.build_lsh_index(rest, idx, n_bits=16, seed=42, sig_mode="portable")
+    assert meta["sig_mode"] == "portable"
+    got1 = S.lsh_index_topk(spark, idx, qv, k=5, probe_hamming=3).collect()
+    got2 = S.lsh_index_topk(spark, idx, qv, k=5, probe_hamming=3).collect()
+    assert [(r.vec_id, r.score) for r in got1] == [
+        (r.vec_id, r.score) for r in got2
+    ]
+    assert {200001, 200002, 200003} <= {r.vec_id for r in got1}
+    scores = [r.score for r in got1]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_portable_lsh_signature_matches_duckdb(spark):
+    """The engine's quantized signature and a DuckDB replay from the
+    same literal weights must agree bit for bit."""
+    import duckdb
+
+    rows = [
+        (1, [0.5, -0.25, 0.125, 1.0]),
+        (2, [-1.0, 2.0, -3.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> sig 0
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r.vec_id: r.sig
+        for r in df.select(
+            "vec_id",
+            S.quantized_hyperplane_signature("embedding", 4, 8, 42).alias("sig"),
+        ).collect()
+    }
+    w = S.portable_lsh_weights(4, 8, 42)
+    wsql = "[" + ", ".join("[" + ", ".join(map(str, r)) + "]" for r in w) + "]"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {list(map(float, v))})" for i, v in rows)
+        + ") t(vec_id, embedding)"
+    )
+    want = dict(
+        con.execute(
+            f"""
+            WITH ws AS (SELECT {wsql} AS w),
+            q AS (SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS q
+                  FROM v)
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN list_sum(list_transform(
+                          range(1, len(q)+1), jj -> q[jj] * ws.w[i+1][jj])) > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                        ELSE 0 END) AS BIGINT) AS sig
+            FROM q, ws, range(0, 8) r(i) GROUP BY vec_id
+            """
+        ).fetchall()
+    )
+    assert got == want and got[3] == 0
