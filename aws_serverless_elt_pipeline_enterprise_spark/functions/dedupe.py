@@ -98,6 +98,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     df_cap: int | None = None,
+    hash_shingles: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity >= threshold.
 
@@ -112,8 +113,20 @@ def ngram_jaccard_pairs(
     <= df_cap entries and the per-shingle pair fan-out is <= C(df_cap,2)
     — a stop-phrase shingle shared by 10^6 docs would otherwise emit a
     10^12-row expansion. Capped semantics are exact and oracle-checkable:
-    Jaccard over the discriminative (rare) shingle sets."""
+    Jaccard over the discriminative (rare) shingle sets.
+
+    ``hash_shingles`` ('xxhash64' | 'portable' | None): replace each
+    shingle STRING with its 64-bit hash BEFORE the inverted-index
+    shuffle — the exchanged key shrinks from ~n-word strings to 8
+    bytes, which is most of the shuffle volume at scale. Semantics are
+    identical up to hash collisions (negligible at 2^-60..2^-64 per
+    pair); 'portable' uses the md5-derived family, so an external SQL
+    oracle replays the hashed chain exactly, collisions included."""
     sh = shingle_explode(df, key, text, n)
+    if hash_shingles:
+        sh = sh.select(
+            F.col(key), _hash64(F.col("shingle"), hash_shingles).alias("shingle")
+        )
     return _pairs_from_shingle_rows(sh, key, threshold, df_cap)
 
 
@@ -730,6 +743,7 @@ def dedup_pipeline(
     hash_mode: str = "xxhash64",
     max_hamming: int = 3,
     cluster_algorithm: str = "auto",
+    hash_shingles: str | None = None,
 ) -> dict[str, DataFrame]:
     """The whole near-dup family over ONE tokenization pass. Standalone,
     each member re-reads and re-tokenizes the corpus (words + shingles
@@ -763,6 +777,11 @@ def dedup_pipeline(
         .select("keeper", "n_copies")
     )
     sh_rows = base.select(F.col(key), F.explode("_sh").alias("shingle"))
+    if hash_shingles:
+        # see ngram_jaccard_pairs: 8-byte shuffle keys instead of strings
+        sh_rows = sh_rows.select(
+            F.col(key), _hash64(F.col("shingle"), hash_shingles).alias("shingle")
+        )
     ngram_pairs = _pairs_from_shingle_rows(sh_rows, key, threshold, df_cap).persist()
     clusters = dup_clusters(ngram_pairs, algorithm=cluster_algorithm)
     sigs = _sigs_from_shingled(

@@ -461,3 +461,69 @@ def test_portable_lsh_signature_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want and got[3] == 0
+
+
+# -------------------------------------------------------------------------
+# Hashed-shingle shuffle keys (8-byte bigint instead of n-word strings)
+# -------------------------------------------------------------------------
+
+
+def test_hashed_shingles_match_string_shingles(spark, sf_dir):
+    """Replacing shingle strings with 64-bit hashes before the inverted-
+    index shuffle must not change the pair set or the Jaccard values
+    (set cardinalities are preserved when the hash is collision-free on
+    the corpus, which both families are at fixture scale). Covers the
+    capped (posting-list) and uncapped (self-join) paths and both hash
+    families."""
+    import os as _os
+
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import dedupe as D
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    base_capped = {
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5, df_cap=100).collect()
+    }
+    base_uncapped = {
+        tuple(r) for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert base_capped  # fixture must actually produce near-dup pairs
+    for mode in ("xxhash64", "portable"):
+        assert {
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(
+                docs, threshold=0.5, df_cap=100, hash_shingles=mode
+            ).collect()
+        } == base_capped
+        assert {
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(
+                docs, threshold=0.5, hash_shingles=mode
+            ).collect()
+        } == base_uncapped
+
+
+def test_dedup_pipeline_hashed_shingles_match(spark, sf_dir):
+    """dedup_pipeline(hash_shingles=...) must keep every output identical
+    to the unhashed pipeline — the hash only changes the shuffled key
+    encoding."""
+    import os as _os
+
+    from aws_serverless_elt_pipeline_enterprise_spark.functions import dedupe as D
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    plain = D.dedup_pipeline(docs, threshold=0.5, df_cap=100, hash_mode="portable")
+    hashed = D.dedup_pipeline(
+        docs,
+        threshold=0.5,
+        df_cap=100,
+        hash_mode="portable",
+        hash_shingles="xxhash64",
+    )
+    try:
+        for name in ("exact", "ngram_pairs", "clusters", "minhash_pairs", "simhash_pairs"):
+            assert {tuple(r) for r in plain[name].collect()} == {
+                tuple(r) for r in hashed[name].collect()
+            }, name
+    finally:
+        spark.catalog.clearCache()
