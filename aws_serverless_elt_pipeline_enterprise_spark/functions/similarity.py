@@ -832,6 +832,29 @@ def _id_type(meta: dict):
     return T._parse_datatype_json_string(meta["id_type"])
 
 
+def _read_probe_buckets(spark, members_root: str, probe: list[int]):
+    """Read ONLY the probed ``sig=`` partition directories, bypassing the
+    full-index directory listing. ``spark.read.parquet(members_root)``
+    with an ``isin`` filter prunes the FILES SCANNED but still lists
+    every partition directory up front (InMemoryFileIndex walks the whole
+    root) — at 2^16 buckets that listing is 65,536 directory stats per
+    query, ~100x the probe set. Passing the bucket paths directly bounds
+    the listing at len(probe); ``basePath`` keeps ``sig`` a partition
+    column so plans (and the pruning tests) are unchanged. Probe buckets
+    with no members simply don't exist on disk and are stat-filtered out
+    driver-side; returns None when NO probed bucket exists."""
+    import os as _os
+
+    paths = [
+        p
+        for s in probe
+        if _os.path.isdir(p := _os.path.join(members_root, f"sig={s}"))
+    ]
+    if not paths:
+        return None
+    return spark.read.option("basePath", members_root).parquet(*paths)
+
+
 def lsh_index_topk(
     spark,
     path: str,
@@ -873,8 +896,17 @@ def lsh_index_topk(
         meta.get("scale", 16384),
     )
     probe = _hamming_ball(qsig, meta["n_bits"], probe_hamming)
-    members = spark.read.parquet(_os.path.join(path, "members"))
-    cand = members.filter(F.col("sig").isin(probe))
+    cand = _read_probe_buckets(spark, _os.path.join(path, "members"), probe)
+    if cand is None:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(meta["id_col"], _id_type(meta)),
+                    T.StructField(score_col, T.DoubleType()),
+                ]
+            ),
+        )
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     if portable:
         # engine-exact scoring to pair with the engine-exact signature:

@@ -39,18 +39,31 @@ def test_lsh_index_topk_matches_oneshot(spark, sf_dir, tmp_path):
 
 
 def test_lsh_index_probe_is_partition_pruned(spark, sf_dir, tmp_path):
-    """The probe must read ONLY the Hamming-ball buckets: a sig partition
-    filter in the plan AND strictly fewer files actually read than the
-    index holds."""
+    """The probe must read ONLY the Hamming-ball buckets: the scan's file
+    set is confined to probed sig= directories and strictly smaller than
+    the index."""
     e = _emb(spark, sf_dir).filter("vec_id <> 0")
-    qv = list(_emb(spark, sf_dir).filter("vec_id = 0").first()["embedding"])
+    # query WITH an indexed vector so its exact bucket is guaranteed to
+    # exist on disk (at fixture scale a random ball can miss every
+    # populated bucket of 2^12)
+    qv = list(e.orderBy("vec_id").first()["embedding"])
     idx = str(tmp_path / "lsh")
     S.build_lsh_index(e, idx, n_bits=12, seed=7)
     probe_df = S.lsh_index_topk(spark, idx, qv, k=8, probe_hamming=1)
-    assert any("sig" in f for f in checks.partition_filters(probe_df))
+    assert probe_df.count() >= 1  # the query's own bucket was read
     members = spark.read.parquet(os.path.join(idx, "members"))
     qsig = S._query_signature(spark, qv, 12, 7)
     ball = S._hamming_ball(qsig, 12, 1)
+    # the probe reads the bucket paths DIRECTLY (listing bounded by the
+    # ball, not 2^n_bits) — every file under the probe scan must belong
+    # to a probed sig= directory; stronger than a PartitionFilters entry
+    probe_files = S._read_probe_buckets(
+        spark, os.path.join(idx, "members"), ball
+    ).select(F.input_file_name().alias("f"))
+    sigs_touched = {
+        int(r["f"].split("sig=")[1].split("/")[0]) for r in probe_files.collect()
+    }
+    assert sigs_touched and sigs_touched <= set(ball)
     assert len(ball) == 13 and len(set(ball)) == 13
     pruned = members.filter(F.col("sig").isin(ball))
     files_read = pruned.select(F.input_file_name()).distinct().count()
@@ -527,3 +540,34 @@ def test_dedup_pipeline_hashed_shingles_match(spark, sf_dir):
             }, name
     finally:
         spark.catalog.clearCache()
+
+
+# -------------------------------------------------------------------------
+# Direct-path bucket probe (listing bounded by the probe set, not 2^n_bits)
+# -------------------------------------------------------------------------
+
+
+def test_lsh_probe_missing_all_buckets_returns_empty(spark, tmp_path):
+    """The probe reads bucket directories directly (no full-index
+    listing); when every probed bucket is absent on disk the result is
+    an empty frame with the contract schema — in both signature modes."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    # two clustered vectors -> one or two buckets out of 2^16; a query
+    # on the OPPOSITE side of every hyperplane with probe_hamming=0
+    # misses all existing buckets
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 7 + [0.9])], schema
+    )
+    for mode in ("xxhash64", "portable"):
+        idx = str(tmp_path / f"lsh_miss_{mode}")
+        S.build_lsh_index(df, idx, n_bits=16, seed=42, sig_mode=mode)
+        vec = [-1.0] * 8
+        out = S.lsh_index_topk(spark, idx, vec, k=5, probe_hamming=0)
+        want_col = "score" if mode == "portable" else "cos_sim"
+        assert out.columns == ["vec_id", want_col]
+        assert out.count() == 0
