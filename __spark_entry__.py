@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E402
+    curation as cur,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E402
     dedupe as dd,
 )
 from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E402
@@ -758,6 +761,45 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Gopher A.3 style):
+    corpus docs sharing any word n-gram with a held-out benchmark set,
+    with the benchmark's hashed shingle set broadcast so the corpus is
+    never shuffled against itself. The benchmark here is the
+    deterministic doc_id % 19 == 3 slice of the same table; n=3 (instead
+    of the production n=13) so the synthetic word-soup corpus produces a
+    non-trivial hit set to verify."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 19 == 3)
+    corpus = d.filter(F.col("doc_id") % 19 != 3)
+    return cur.contaminated_docs(
+        corpus, bench, n=3, hash_mode="portable"
+    ).orderBy("doc_id")
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics, zero-shuffle HOF fold
+    per doc (functions/curation.py:repetition_profile)."""
+    d = _t(spark, sf_dir, "documents")
+    return cur.repetition_profile(d).orderBy("doc_id")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted training-mix sampling: per-source rates
+    with up-sampling (src0 x2.5, src1 x1, src2 x0.5, rest x0.25), the
+    keep/replicate decision a pure hash of (doc_id, salt) so the DuckDB
+    oracle replays the exact sample."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cur.stratified_sample(
+        d,
+        {"src0": 2.5, "src1": 1.0, "src2": 0.5},
+        strat="source",
+        key="doc_id",
+        default_rate=0.25,
+        hash_mode="portable",
+    ).orderBy("doc_id", "copy")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": q_cdc_final_state,
@@ -798,6 +840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "decontaminate": q_decontaminate,
+        "repetition_filter": q_repetition_filter,
+        "stratified_sample": q_stratified_sample,
         "asof_attribution": q_asof_attribution,
         "sessionize": q_sessionize,
         "cdc_replay_roundtrip": q_cdc_replay_roundtrip,
@@ -1287,6 +1332,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(tok0 AS INTEGER) AS tok0,
                    CAST(1 AS INTEGER) AS n_tok
             FROM last WHERE last_op <> 'delete' ORDER BY doc_id
+        """,
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, {_WORDS} AS w FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, s FROM toks,
+                UNNEST(list_transform(
+                  range(1, greatest(len(w) - 2, 0) + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                )) AS u(s)
+            ), bench AS (
+              SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3
+            )
+            SELECT doc_id, count(*) AS n_hits
+            FROM sh JOIN bench USING (s)
+            WHERE doc_id % 19 <> 3
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "repetition_filter": f"""
+            WITH t AS (
+              SELECT doc_id, {_WORDS} AS w FROM documents
+            ), m AS (
+              SELECT doc_id, w, len(w) AS n,
+                     CASE WHEN len(w) >= 2
+                          THEN list_transform(range(1, len(w)),
+                                              i -> w[i] || ' ' || w[i+1])
+                          ELSE CAST([] AS VARCHAR[]) END AS bg
+              FROM t
+            ), f AS (
+              SELECT doc_id, n AS n_words,
+                     CASE WHEN n > 0
+                          THEN CAST(len(list_distinct(w)) AS DOUBLE) / n
+                     END AS distinct_frac,
+                     CASE WHEN n > 0
+                          THEN CAST(list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x))))
+                               AS DOUBLE) / n
+                     END AS top_word_frac,
+                     CASE WHEN len(bg) > 0
+                          THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                                     / len(bg)
+                          WHEN n > 0 THEN 0.0
+                     END AS dup_bigram_frac
+              FROM m
+            )
+            SELECT doc_id, n_words, distinct_frac, top_word_frac,
+                   dup_bigram_frac,
+                   COALESCE(top_word_frac <= 0.20
+                            AND dup_bigram_frac <= 0.40, false)
+                       AS passes_repetition
+            FROM f ORDER BY doc_id
+        """,
+        "stratified_sample": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     CAST(CASE source WHEN 'src0' THEN 2.5
+                                      WHEN 'src1' THEN 1.0
+                                      WHEN 'src2' THEN 0.5
+                                      ELSE 0.25 END AS DOUBLE) AS rate,
+                     CAST(CAST(concat('0x', substr(md5(
+                            CAST(doc_id AS VARCHAR) || ':mix-v1'), 1, 15))
+                          AS BIGINT) % 1000000 AS DOUBLE) / 1000000
+                       AS u
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source,
+                     CAST(floor(rate)
+                          + CASE WHEN u < rate - floor(rate)
+                                 THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+              FROM r
+            )
+            SELECT doc_id, source, CAST(cp.copy AS INTEGER) AS copy
+            FROM c, UNNEST(range(1, n_copies + 1)) AS cp(copy)
+            WHERE n_copies >= 1
+            ORDER BY doc_id, copy
         """,
         "sessionize": """
             WITH o AS (

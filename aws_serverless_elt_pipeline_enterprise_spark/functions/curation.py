@@ -1,0 +1,228 @@
+"""Corpus curation for training-data pipelines: benchmark decontamination,
+repetition profiling (Gopher-style filters), and deterministic weighted
+stratified sampling.
+
+All three are map-heavy by design — the 100 TB shapes are:
+
+- decontamination: the benchmark side is tiny (eval sets are KBs-to-MBs
+  against a 100 TB corpus), so its shingle set is broadcast and the corpus
+  side is a map-only semi-join probe plus one bounded groupBy(doc) —
+  never a corpus x corpus shuffle;
+- repetition metrics: pure higher-order functions over the per-doc token
+  array — zero shuffles, whole-stage codegen, scales embarrassingly (the
+  alternative explode + groupBy(doc, word) moves O(corpus tokens) through
+  two shuffles for a per-doc statistic);
+- sampling: one deterministic hash per row, map-only, no sampleBy() RNG —
+  reruns and retried tasks pick the identical sample, which is what makes
+  the sample reproducible lineage rather than a one-off.
+
+Hashes follow the repo-wide convention (functions/dedupe.py:33):
+``xxhash64`` for production speed, ``portable`` (md5-derived 60-bit) when
+an external engine must replay the chain bit-for-bit (the DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_serverless_elt_pipeline_enterprise_spark.functions.dedupe import (
+    _hash64,
+    shingle_explode,
+    word_shingles,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.functions.text import words
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contaminated_docs(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    key: str = "doc_id",
+    text: str = "text",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Docs sharing at least one word n-gram with the benchmark set:
+    (key, n_hits) where n_hits counts the doc's DISTINCT shingles that
+    also appear in the benchmark.
+
+    n=13 is the published convention (GPT-3 appendix C / Gopher section
+    A.3 use 13-gram overlap for test-set decontamination); smaller n
+    trades precision for recall.
+
+    Scale shape: the benchmark's distinct shingle set is hashed and
+    BROADCAST (eval sets are tiny next to the corpus), so the corpus side
+    is scan -> explode -> broadcast-hash-semi-join -> groupBy(key), with
+    the groupBy bounded by hits (<= the doc's shingle count). The corpus
+    is never shuffled against itself. Shingles travel as 64-bit hashes,
+    not strings — at 13 words/shingle the key shrink is ~10x.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(text, n)).alias("shingle")
+        )
+        .select(_hash64(F.col("shingle"), hash_mode).alias("h"))
+        .distinct()
+    )
+    corpus_sh = shingle_explode(df, key=key, text=text, n=n).select(
+        F.col(key), _hash64(F.col("shingle"), hash_mode).alias("h")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "h", "semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    key: str = "doc_id",
+    text: str = "text",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Corpus rows that share NO word n-gram with the benchmark set.
+
+    Anti-join against the (small) contaminated-id list; with a tiny
+    benchmark the hit list is itself small, so Spark/AQE broadcasts the
+    anti side and the whole filter stays map-only over the corpus."""
+    hits = contaminated_docs(
+        df, benchmark, n=n, key=key, text=text, hash_mode=hash_mode
+    ).select(key)
+    return df.join(hits, key, "anti")
+
+
+# ---------------------------------------------------------------------------
+# repetition profiling (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+def repetition_profile(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    max_top_word_frac: float = 0.20,
+    max_dup_bigram_frac: float = 0.40,
+) -> DataFrame:
+    """Per-doc repetition metrics (the Gopher rules 'fraction of the
+    document made of the most common word / of duplicated n-grams',
+    count-weighted rather than char-weighted):
+
+      n_words           whitespace token count
+      distinct_frac     |distinct words| / n_words
+      top_word_frac     occurrences of the most frequent word / n_words
+      dup_bigram_frac   1 - |distinct bigrams| / |bigrams|  (fraction of
+                        bigram instances that are repeats of an earlier one)
+      passes_repetition top_word_frac <= max_top_word_frac AND
+                        dup_bigram_frac <= max_dup_bigram_frac
+
+    Zero-shuffle by construction: every metric is a higher-order-function
+    fold over the doc's own token array, so the stage is map-only JVM
+    codegen. top_word_frac is O(distinct x n) per doc — for web-scale docs
+    (~10^3 words) that is ~10^5 comparisons, far cheaper than shipping
+    O(corpus tokens) through the two shuffles of the explode +
+    groupBy(doc, word) formulation. Docs with no words (empty/NULL text)
+    get NULL metrics and passes_repetition = false.
+
+    The words array is bound as a lambda variable (transform-over-
+    singleton, same idiom as dedupe.word_shingles) so split() runs once
+    per doc, not once per element.
+    """
+    def metrics(w: F.Column) -> F.Column:
+        n = F.size(w)
+        dw = F.array_distinct(w)
+        top = F.array_max(
+            F.transform(dw, lambda x: F.size(F.filter(w, lambda y: y == x)))
+        )
+        bg = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        nbg = F.size(bg)
+        return F.struct(
+            n.alias("n_words"),
+            F.when(n > 0, F.size(dw).cast("double") / n).alias("distinct_frac"),
+            F.when(n > 0, top.cast("double") / n).alias("top_word_frac"),
+            F.when(nbg > 0, F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / nbg)
+            .otherwise(F.when(n > 0, F.lit(0.0)))
+            .alias("dup_bigram_frac"),
+        )
+
+    m = F.transform(F.array(words(text)), metrics)[0]
+    return df.select(
+        F.col(key),
+        m["n_words"].alias("n_words"),
+        m["distinct_frac"].alias("distinct_frac"),
+        m["top_word_frac"].alias("top_word_frac"),
+        m["dup_bigram_frac"].alias("dup_bigram_frac"),
+        (
+            (m["top_word_frac"] <= F.lit(max_top_word_frac))
+            & (m["dup_bigram_frac"] <= F.lit(max_dup_bigram_frac))
+        ).alias("passes_repetition"),
+    ).withColumn(
+        "passes_repetition", F.coalesce(F.col("passes_repetition"), F.lit(False))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strat: str = "source",
+    key: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix-v1",
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Deterministic per-stratum weighted sampling with up-sampling:
+    rate 0.25 keeps ~25% of the stratum, rate 2.5 emits every row twice
+    plus a third copy for ~50% of rows (training-mix epoch weights).
+    Output = input columns + ``copy`` (1..n_copies).
+
+    The keep/replicate decision is a pure function of (key, salt):
+    hash(key ':' salt) mod 10^6 scaled to [0,1) and compared to the
+    fractional part of the stratum's rate. No RNG: task retries,
+    re-runs, and other engines (the DuckDB oracle) reproduce the exact
+    sample — the property that makes a training mix auditable. Map-only,
+    zero shuffles; the rates map is a literal expression, not a join.
+
+    At 100 TB the fractional-copy explode is bounded (ceil(rate) copies),
+    and because the hash is uniform the output size concentrates tightly
+    around sum(stratum_size * rate).
+    """
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(strat) == s, F.lit(float(r))).otherwise(rate)
+
+    u = (
+        _hash64(
+            F.concat(F.col(key).cast("string"), F.lit(":" + salt)), hash_mode
+        )
+        % SAMPLE_BUCKETS
+    ).cast("double") / SAMPLE_BUCKETS
+    n_copies = (
+        F.floor(rate) + F.when(u < rate - F.floor(rate), 1).otherwise(0)
+    ).cast("int")
+
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") >= 1)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(1), F.col("__n_copies")))
+        )
+        .drop("__n_copies")
+    )

@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "token_histogram",
     "embedding_ivf_topk",
     "embedding_lsh_topk",
+    "decontaminate",
+    "repetition_filter",
+    "stratified_sample",
     "asof_attribution",
     "sessionize",
     "cdc_replay_roundtrip",
