@@ -40,6 +40,9 @@ from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E4
 from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E402
     tokens as tk,
 )
+from aws_serverless_elt_pipeline_enterprise_spark.operators import (  # noqa: E402
+    scd,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -761,6 +764,47 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/scd.py): every state
+    version per user with its validity interval; 'error' events act as
+    tombstones — they close the predecessor's interval but emit no
+    version (the deleted-then-reinserted gap is the dimensional truth).
+    One shuffle on key + per-key sort, the sessionize shape."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        scd.scd2_history(
+            ev,
+            key="user_id",
+            seq="event_id",
+            ts="ts",
+            delete_when=F.col("event_type") == "error",
+        )
+        .select(
+            "user_id", "event_id", "value", "valid_from", "valid_to", "is_current"
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH signature
+    bucketing + exact verify — the portable quantized chain (integer
+    projection with md5-family ±1 weights, bigint-dot cosine) so DuckDB
+    replays sign, bucket-join, and score bit-for-bit. n_bits=4 /
+    threshold=0.3 instead of the production 16/0.95 because the synthetic
+    embeddings are near-orthogonal random vectors — these settings
+    produce a non-trivial verified pair set; the pair generator is
+    identical at any setting (bucket equijoin, never all-pairs)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(
+        e.filter(F.col("embedding").isNotNull()),
+        threshold=0.3,
+        n_bits=4,
+        seed=42,
+        sig_mode="portable",
+    ).orderBy("a", "b")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C / Gopher A.3 style):
     corpus docs sharing any word n-gram with a held-out benchmark set,
@@ -840,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "scd2_history": q_scd2_history,
+        "embedding_near_dup": q_embedding_near_dup,
         "decontaminate": q_decontaminate,
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
@@ -883,6 +929,14 @@ _LSH_W_SQL = (
     + ", ".join(
         "[" + ", ".join(str(w) for w in row) + "]"
         for row in sim.portable_lsh_weights(64, 16, 42)
+    )
+    + "]"
+)
+_LSH_W4_SQL = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(str(w) for w in row) + "]"
+        for row in sim.portable_lsh_weights(64, 4, 42)
     )
     + "]"
 )
@@ -1332,6 +1386,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(tok0 AS INTEGER) AS tok0,
                    CAST(1 AS INTEGER) AS n_tok
             FROM last WHERE last_op <> 'delete' ORDER BY doc_id
+        """,
+        "scd2_history": """
+            WITH h AS (
+              SELECT user_id, event_id, value, event_type,
+                     ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS valid_to
+              FROM events
+            )
+            SELECT user_id, event_id, value, valid_from, valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM h WHERE event_type <> 'error'
+            ORDER BY user_id, event_id
+        """,
+        "embedding_near_dup": f"""
+            WITH ws AS (
+              SELECT {_LSH_W4_SQL} AS w
+            ), v AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*16384.0) AS BIGINT)) AS q
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), sigs AS (
+              SELECT vec_id, {_LSH_SIG_SUM} AS sig
+              FROM v, ws, range(0, 4) r(i) GROUP BY vec_id
+            ), m AS (
+              SELECT v.vec_id, v.q, sigs.sig
+              FROM v JOIN sigs USING (vec_id)
+              WHERE list_sum(list_transform(v.q, x -> x*x)) > 0
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   {_qcos("x.q", "y.q")} AS cos_sim
+            FROM m x JOIN m y ON x.sig = y.sig AND x.vec_id < y.vec_id
+            WHERE {_qcos("x.q", "y.q")} >= 0.3
+            ORDER BY a, b
         """,
         "decontaminate": f"""
             WITH toks AS (

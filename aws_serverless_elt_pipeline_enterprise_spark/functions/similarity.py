@@ -955,24 +955,50 @@ def lsh_index_near_dup_pairs(
         )
     members = spark.read.parquet(_os.path.join(path, "members"))
     return _sig_verify_pairs(
-        members, threshold, meta["id_col"], meta["vec_col"]
+        members,
+        threshold,
+        meta["id_col"],
+        meta["vec_col"],
+        quantized=(meta.get("sig_mode", "xxhash64") == "portable"),
+        scale=meta.get("scale", 16384),
     )
 
 
 def _sig_verify_pairs(
-    sigs: DataFrame, threshold: float, id_col: str, vec_col: str
+    sigs: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    quantized: bool = False,
+    scale: int = 16384,
 ) -> DataFrame:
-    """Shared verify step: same-bucket equijoin + exact cosine filter."""
+    """Shared verify step: same-bucket equijoin + exact cosine filter.
+    ``quantized=True`` scores with the floor-quantized integer cosine
+    (quantized_cosine_cols) so the verify — like the portable signature
+    it pairs with — is bit-replayable by an external SQL engine;
+    zero-norm quantized vectors drop (cosine undefined), mirroring
+    lsh_index_topk's ``nv > 0`` filter."""
+    vcol = F.col(vec_col)
+    if quantized:
+        sigs = sigs.select(
+            F.col(id_col), _quantize(vcol, scale).alias("__qv"), F.col("sig")
+        ).filter(_qnorm(F.col("__qv")) > 0)
+        vec_col = "__qv"
     a = sigs.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("sig")
     )
     b = sigs.select(
         F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("sig")
     )
+    score = (
+        quantized_cosine_cols(F.col("va"), F.col("vb"))
+        if quantized
+        else cosine(F.col("va"), F.col("vb"))
+    )
     return (
         a.join(b, "sig")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos_sim", score)
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
     )
@@ -985,6 +1011,8 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_bits: int = 16,
     seed: int = 42,
+    sig_mode: str = "xxhash64",
+    scale: int = 16384,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via signature bucketing:
     vectors sharing an LSH bucket are verified with the exact cosine.
@@ -1012,6 +1040,13 @@ def embedding_near_dup_pairs(
     sigs = df.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_signature(vec_col, dim, n_bits, seed).alias("sig"),
+        _sig_expr(vec_col, dim, n_bits, seed, sig_mode, scale).alias("sig"),
     )
-    return _sig_verify_pairs(sigs, threshold, id_col, vec_col)
+    return _sig_verify_pairs(
+        sigs,
+        threshold,
+        id_col,
+        vec_col,
+        quantized=(sig_mode == "portable"),
+        scale=scale,
+    )

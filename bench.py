@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "token_histogram",
     "embedding_ivf_topk",
     "embedding_lsh_topk",
+    "scd2_history",
+    "embedding_near_dup",
     "decontaminate",
     "repetition_filter",
     "stratified_sample",
