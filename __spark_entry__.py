@@ -611,6 +611,76 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHANGE DATA FEED under the oracle gate: replay the first half
+    of the event log (by event_id) as epoch one, the rest as epoch two,
+    then read SnapshotTable.changes(v1, v2) — the Delta-CDF-style diff
+    (insert / update / delete with post-/pre-images, manifest-diff
+    bucket pruning). The oracle recomputes both versions' visible states
+    as SQL LWW and classifies the same transitions."""
+    import atexit
+    import shutil
+
+    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
+        sweep_stale_tables,
+        work_root,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        SnapshotTable,
+    )
+
+    base = work_root()
+    os.makedirs(base, exist_ok=True)
+    sweep_stale_tables(base)
+
+    ev = _t(spark, sf_dir, "events")
+    cut = (ev.agg(F.max("event_id")).first()[0] + 1) // 2
+    chg = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+    )
+    proc_dir = os.path.join(base, f"tbl_cdf_{os.getpid()}")
+    if not os.path.isdir(proc_dir):
+        os.makedirs(proc_dir)
+        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
+    # same per-call retention protocol as q_cdc_replay_roundtrip: the
+    # returned frame is lazy, so the previous call's table stays readable
+    sf_tag = "cdf_" + sf_dir.strip("/").replace("/", "_")
+    call = _RT_CALL_SEQ.setdefault(sf_tag, 0)
+    _RT_CALL_SEQ[sf_tag] = call + 1
+    for d in os.listdir(proc_dir):
+        if d.startswith(f"{sf_tag}_c"):
+            try:
+                older = int(d.rsplit("_c", 1)[1]) < call - 1
+            except ValueError:
+                older = False
+            if older:
+                shutil.rmtree(os.path.join(proc_dir, d), ignore_errors=True)
+    root = os.path.join(proc_dir, f"{sf_tag}_c{call}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = SnapshotTable(
+        spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
+    )
+    table.merge_reduced(chg.filter(F.col("seq") < cut), "phase-1")
+    v1 = table.current_version()
+    table.merge_reduced(chg.filter(F.col("seq") >= cut), "phase-2")
+    v2 = table.current_version()
+    return (
+        table.changes(v1, v2)
+        .select(
+            "doc_id",
+            "value",
+            F.col("_seq").alias("seq"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/sessions.py): session id per
     user, new session when >1h passes between events. One key shuffle,
@@ -884,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "cdc_changes": q_cdc_changes,
         "scd2_history": q_scd2_history,
         "embedding_near_dup": q_embedding_near_dup,
         "decontaminate": q_decontaminate,
@@ -1386,6 +1457,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(tok0 AS INTEGER) AS tok0,
                    CAST(1 AS INTEGER) AS n_tok
             FROM last WHERE last_op <> 'delete' ORDER BY doc_id
+        """,
+        # cdc_changes: replay both halves as SQL LWW states and classify
+        # the visible-state transitions exactly as changes() does. s2's
+        # winner value matches the table because visibility (lop <>
+        # 'error') guarantees the winning op was an update, which carries
+        # the event's value; delete rows emit the v1 pre-image.
+        "cdc_changes": """
+            WITH cut AS (
+              SELECT (max(event_id)+1)//2 AS c FROM events
+            ), s1 AS (
+              SELECT CAST(user_id AS VARCHAR) AS doc_id,
+                     arg_max(event_type, event_id) AS lop,
+                     arg_max(value, event_id) AS v,
+                     max(event_id) AS seq
+              FROM events, cut WHERE event_id < c GROUP BY user_id
+            ), s2 AS (
+              SELECT CAST(user_id AS VARCHAR) AS doc_id,
+                     arg_max(event_type, event_id) AS lop,
+                     arg_max(value, event_id) AS v,
+                     max(event_id) AS seq
+              FROM events GROUP BY user_id
+            ), j AS (
+              SELECT s2.doc_id,
+                     (s1.doc_id IS NOT NULL AND s1.lop <> 'error') AS vis1,
+                     (s2.lop <> 'error') AS vis2,
+                     s1.v AS v1, s2.v AS v2, s1.seq AS seq1, s2.seq AS seq2
+              FROM s2 LEFT JOIN s1 USING (doc_id)
+            )
+            SELECT doc_id,
+                   CASE WHEN vis1 AND NOT vis2 THEN v1 ELSE v2 END AS value,
+                   seq2 AS seq,
+                   CASE WHEN NOT vis1 AND vis2 THEN 'insert'
+                        WHEN vis1 AND NOT vis2 THEN 'delete'
+                        ELSE 'update' END AS change_type
+            FROM j
+            WHERE (NOT vis1 AND vis2) OR (vis1 AND NOT vis2)
+               OR (vis1 AND vis2 AND seq1 <> seq2)
+            ORDER BY doc_id
         """,
         "scd2_history": """
             WITH h AS (

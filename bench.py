@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "token_histogram",
     "embedding_ivf_topk",
     "embedding_lsh_topk",
+    "cdc_changes",
     "scd2_history",
     "embedding_near_dup",
     "decontaminate",
