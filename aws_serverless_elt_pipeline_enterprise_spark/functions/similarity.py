@@ -973,32 +973,53 @@ def _sig_verify_pairs(
     scale: int = 16384,
 ) -> DataFrame:
     """Shared verify step: same-bucket equijoin + exact cosine filter.
-    ``quantized=True`` scores with the floor-quantized integer cosine
-    (quantized_cosine_cols) so the verify — like the portable signature
-    it pairs with — is bit-replayable by an external SQL engine;
-    zero-norm quantized vectors drop (cosine undefined), mirroring
-    lsh_index_topk's ``nv > 0`` filter."""
+    ``quantized=True`` scores with the floor-quantized integer cosine so
+    the verify — like the portable signature it pairs with — is
+    bit-replayable by an external SQL engine; zero-norm quantized
+    vectors drop (cosine undefined), mirroring lsh_index_topk's
+    ``nv > 0`` filter.
+
+    Each side's NORM is computed once per ROW before the join (the
+    _qnorm docstring's rule): a bucket of m vectors produces C(m,2)
+    pairs, and a per-pair norm fold would redo each vector's O(dim)
+    self-dot m-1 times — measured 3x on the sf0.1 driver query. The
+    per-pair work is exactly one dot product + one divide, and the
+    dot/(na*nb) composition is the same IEEE expression the one-norm
+    formulations evaluate, so scores are bit-identical."""
     vcol = F.col(vec_col)
     if quantized:
         sigs = sigs.select(
             F.col(id_col), _quantize(vcol, scale).alias("__qv"), F.col("sig")
-        ).filter(_qnorm(F.col("__qv")) > 0)
+        )
         vec_col = "__qv"
+        sigs = sigs.withColumn("__n", _qnorm(F.col(vec_col)))
+    else:
+        sigs = sigs.withColumn("__n", l2_norm(vcol))
+    # zero-norm rows drop on BOTH paths: cosine() would NULL them out
+    # post-join anyway (never NaN-first), so pre-filtering is equivalent
+    # and skips their pair fan-out entirely
+    sigs = sigs.filter(F.col("__n") > 0)
     a = sigs.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("sig")
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("na"),
+        F.col("sig"),
     )
     b = sigs.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("sig")
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("nb"),
+        F.col("sig"),
     )
-    score = (
-        quantized_cosine_cols(F.col("va"), F.col("vb"))
+    prod = (
+        _qdot(F.col("va"), F.col("vb")).cast("double")
         if quantized
-        else cosine(F.col("va"), F.col("vb"))
+        else dot(F.col("va"), F.col("vb"))
     )
     return (
         a.join(b, "sig")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", score)
+        .withColumn("cos_sim", prod / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
     )

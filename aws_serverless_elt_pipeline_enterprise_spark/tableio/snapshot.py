@@ -979,13 +979,26 @@ class SnapshotTable:
 
     # ---------------------------------------------------------- maintenance
 
-    def compact(self, purge_tombstones_below_seq: int | None = None) -> dict:
+    def compact(
+        self,
+        purge_tombstones_below_seq: int | None = None,
+        sort_within_buckets: bool = False,
+    ) -> dict:
         """Rewrite the whole snapshot into a single commit dir (the
         reference's small-file compaction job, scripts/compact_silver.py:36-42,
         generalized: Iceberg rewrite_data_files). Tombstones older than the
         given seq horizon can be purged here — safe once no event below that
         seq can still arrive (the watermark contract), exactly like Kafka
-        log-compaction's delete.retention."""
+        log-compaction's delete.retention.
+
+        ``sort_within_buckets=True`` key-sorts each bucket's rows before
+        the write (a sortWithinPartitions — no extra shuffle beyond the
+        compaction's own repartition). Parquet row-group min/max stats on
+        the key column then become DISJOINT RANGES, so the key-equality
+        filters ``lookup()`` pushes down (PushedFilters on the scan) skip
+        every row group but the probed keys' — at 10^10 rows a point read
+        touches ~1 row group per key instead of the whole bucket. Same
+        idea as Iceberg's sort-order table property / Z-order for 1-D."""
         m = self.manifest()
         if m is None:
             return {"skipped": True}
@@ -1001,9 +1014,11 @@ class SnapshotTable:
         version = self.current_version() + 1
         commit_rel = os.path.join("commits", f"c_{version:06d}_compact")
         commit_abs = os.path.join(self.root, commit_rel)
+        out = df.repartition(self.n_buckets, F.col(self.BUCKET_COL))
+        if sort_within_buckets:
+            out = out.sortWithinPartitions(self.BUCKET_COL, self.key_col)
         (
-            df.repartition(self.n_buckets, F.col(self.BUCKET_COL))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy(self.BUCKET_COL)
             .parquet(commit_abs)
         )

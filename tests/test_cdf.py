@@ -118,3 +118,28 @@ def test_changes_missing_version_raises(spark, tmp_path):
         t.changes(999, None)
     with pytest.raises(ValueError):
         t.changes(None, 999)
+
+
+def test_compact_sort_within_buckets(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, tmp_path, n_buckets=4)
+    t.merge_reduced(
+        _batch(spark, [("insert", f"k{i:03d}", i, float(i)) for i in range(200)]),
+        "e0",
+    )
+    t.compact(sort_within_buckets=True)
+    # state unchanged by the sorted rewrite
+    assert t.state().count() == 200
+    # every data file is key-sorted -> its row-group min/max are disjoint
+    files = glob.glob(str(tmp_path / "t" / "commits" / "*compact" / "_bucket=*" / "*.parquet"))
+    assert files
+    for f in files:
+        keys = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert keys == sorted(keys)
+    # lookup still pushes the key filter to the scan (row-group skipping)
+    plan = t.lookup(["k007"])._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan
+    assert [r["v"] for r in t.lookup(["k007"]).collect()] == [7.0]
