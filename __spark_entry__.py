@@ -364,9 +364,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (inverted-index join). df_cap
     drops shingles appearing in >100 docs from the universe — the scale
     guard that keeps a stop-phrase shingle from producing an all-pairs
-    join at 100 TB; the oracle applies the identical cap."""
+    join at 100 TB; the oracle applies the identical cap. Shingles travel
+    as portable 60-bit hashes, not strings (the exchanged-key-volume
+    scale path, ~2-4x smaller shuffle keys); the oracle hashes with the
+    same md5 family, so the replay is exact, collisions included."""
     d = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(d, threshold=0.5, df_cap=100).orderBy("a", "b")
+    return dd.ngram_jaccard_pairs(
+        d, threshold=0.5, df_cap=100, hash_shingles="portable"
+    ).orderBy("a", "b")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,7 +511,9 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs into keep/drop decisions in a dedup pipeline. Oracle: recursive
     transitive closure in DuckDB over the identical pair set."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, threshold=0.5, df_cap=100)
+    pairs = dd.ngram_jaccard_pairs(
+        d, threshold=0.5, df_cap=100, hash_shingles="portable"
+    )
     return dd.dup_clusters(pairs).orderBy("doc_id")
 
 
@@ -1198,11 +1205,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\r]+'), t0 -> t0 <> '') AS w
               FROM documents
             ), sh_all AS (
-              SELECT DISTINCT doc_id, s FROM toks,
+              SELECT DISTINCT doc_id,
+                     CAST(concat('0x', substr(md5(s0), 1, 15)) AS BIGINT)
+                       AS s
+              FROM toks,
                 UNNEST(list_transform(
                   range(1, greatest(len(w) - 2, 0) + 1),
                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                )) AS u(s)
+                )) AS u(s0)
             ), rare AS (
               SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100
             ), sh AS (
@@ -1401,11 +1411,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\r]+'), t0 -> t0 <> '') AS w
               FROM documents
             ), sh_all AS (
-              SELECT DISTINCT doc_id, s FROM toks,
+              SELECT DISTINCT doc_id,
+                     CAST(concat('0x', substr(md5(s0), 1, 15)) AS BIGINT)
+                       AS s
+              FROM toks,
                 UNNEST(list_transform(
                   range(1, greatest(len(w) - 2, 0) + 1),
                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                )) AS u(s)
+                )) AS u(s0)
             ), rare AS (
               SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100
             ), sh AS (
