@@ -143,3 +143,35 @@ def test_compact_sort_within_buckets(spark, tmp_path):
     plan = t.lookup(["k007"])._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "doc_id" in plan
     assert [r["v"] for r in t.lookup(["k007"]).collect()] == [7.0]
+
+
+def test_changes_applied_to_before_state_reproduce_after_state(spark, tmp_path):
+    """CDF soundness invariant: state(v1) patched with changes(v1, v2)
+    equals state(v2), for random op sequences and every version pair."""
+    import random
+
+    rng = random.Random(42)
+    t = _mk(spark, tmp_path, n_buckets=8)
+    seq = 0
+    for e in range(4):
+        rows = []
+        for _ in range(40):
+            k = f"k{rng.randrange(25)}"
+            op = rng.choice(["insert", "update", "update", "delete"])
+            seq += 1
+            rows.append((op, k, seq, float(seq)))
+        t.merge_reduced(_batch(spark, rows), f"e{e}")
+    versions = [None] + list(range(t.current_version() + 1))
+    pairs = [(versions[1], versions[-1]), (None, versions[-1]), (versions[2], versions[3])]
+    for v1, v2 in pairs:
+        before = {r["doc_id"]: r["v"] for r in (
+            t.state(v1).collect() if v1 is not None else []
+        )}
+        after = {r["doc_id"]: r["v"] for r in t.state(v2).collect()}
+        patched = dict(before)
+        for r in t.changes(v1, v2).collect():
+            if r["_change_type"] == "delete":
+                patched.pop(r["doc_id"])
+            else:
+                patched[r["doc_id"]] = r["v"]
+        assert patched == after, (v1, v2)

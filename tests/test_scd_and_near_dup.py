@@ -127,3 +127,34 @@ def test_near_dup_index_path_matches_one_shot(spark, tmp_path):
         map(tuple, sim.lsh_index_near_dup_pairs(spark, idx, threshold=0.9).collect())
     )
     assert one_shot == via_index and len(one_shot) >= 5
+
+
+def test_scd2_single_shuffle_plan(spark):
+    d = _ev(spark, [(1, 10, _ts(0), "u", 1.0), (1, 11, _ts(5), "u", 2.0)])
+    plan = scd2_history(d, ts="ts")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one key shuffle feeds the window
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        rows.append((rng.randrange(6), 100 + i, _ts(i % 60),
+                     "d" if rng.random() < 0.2 else "u", float(i)))
+    out = scd2_history(
+        _ev(spark, rows), ts="ts", delete_when=F.col("op") == "d"
+    ).collect()
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["event_id"])):
+        by_key.setdefault(r["user_id"], []).append(r)
+    for vs in by_key.values():
+        # at most one open interval per key, and it is the last version
+        opens = [v for v in vs if v["valid_to"] is None]
+        assert len(opens) <= 1
+        assert all(v["is_current"] == (v["valid_to"] is None) for v in vs)
+        # valid_from never after valid_to
+        assert all(
+            v["valid_to"] is None or v["valid_from"] <= v["valid_to"] for v in vs
+        )
