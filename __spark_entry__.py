@@ -688,6 +688,63 @@ def q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path under the oracle gate: replay the event log into
+    a SnapshotTable, compact with sort_within_buckets=True (key-sorted
+    buckets -> disjoint row-group ranges), then bucket-pruned point
+    lookups for ten keys — the scan reads only the probed keys' hash
+    buckets and the pushed key filter skips row groups within them. The
+    oracle recomputes the same rows as SQL LWW over the raw events."""
+    import atexit
+    import shutil
+
+    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
+        sweep_stale_tables,
+        work_root,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        SnapshotTable,
+    )
+
+    base = work_root()
+    os.makedirs(base, exist_ok=True)
+    sweep_stale_tables(base)
+
+    ev = _t(spark, sf_dir, "events")
+    chg = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+    )
+    proc_dir = os.path.join(base, f"tbl_plk_{os.getpid()}")
+    if not os.path.isdir(proc_dir):
+        os.makedirs(proc_dir)
+        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
+    sf_tag = "plk_" + sf_dir.strip("/").replace("/", "_")
+    call = _RT_CALL_SEQ.setdefault(sf_tag, 0)
+    _RT_CALL_SEQ[sf_tag] = call + 1
+    for d in os.listdir(proc_dir):
+        if d.startswith(f"{sf_tag}_c"):
+            try:
+                older = int(d.rsplit("_c", 1)[1]) < call - 1
+            except ValueError:
+                older = False
+            if older:
+                shutil.rmtree(os.path.join(proc_dir, d), ignore_errors=True)
+    root = os.path.join(proc_dir, f"{sf_tag}_c{call}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = SnapshotTable(
+        spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
+    )
+    table.merge_reduced(chg, "all-events")
+    table.compact(sort_within_buckets=True)
+    keys = [str(i) for i in range(10)]
+    return table.lookup(keys).select("doc_id", "value").orderBy("doc_id")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/sessions.py): session id per
     user, new session when >1h passes between events. One key shuffle,
@@ -962,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "cdc_changes": q_cdc_changes,
+        "point_lookup": q_point_lookup,
         "scd2_history": q_scd2_history,
         "embedding_near_dup": q_embedding_near_dup,
         "decontaminate": q_decontaminate,
@@ -1470,6 +1528,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(tok0 AS INTEGER) AS tok0,
                    CAST(1 AS INTEGER) AS n_tok
             FROM last WHERE last_op <> 'delete' ORDER BY doc_id
+        """,
+        "point_lookup": """
+            WITH s AS (
+              SELECT CAST(user_id AS VARCHAR) AS doc_id,
+                     arg_max(event_type, event_id) AS lop,
+                     arg_max(value, event_id) AS value
+              FROM events GROUP BY user_id
+            )
+            SELECT doc_id, value FROM s
+            WHERE lop <> 'error'
+              AND doc_id IN ('0','1','2','3','4','5','6','7','8','9')
+            ORDER BY doc_id
         """,
         # cdc_changes: replay both halves as SQL LWW states and classify
         # the visible-state transitions exactly as changes() does. s2's
