@@ -593,6 +593,35 @@ class SnapshotTable:
             )
         )
 
+    def read_changes_since(
+        self, last_version: int | None
+    ) -> tuple[DataFrame, int | None, bool]:
+        """Incremental CDF consumption with a consumer bookmark:
+        ``(changes, new_bookmark, bootstrapped)``. Pass the version your
+        consumer last processed (None on first call); persist the
+        returned bookmark after applying the frame.
+
+        If ``last_version`` has been expired by ``expire_snapshots``
+        (the consumer fell behind the retention horizon), the diff can
+        no longer be computed — the call falls back to a BOOTSTRAP: the
+        full current state as inserts, flagged ``bootstrapped=True`` so
+        the consumer knows to replace, not patch, its copy. This is the
+        same contract as Delta CDF's startingVersion-out-of-range
+        re-read. A no-op (bookmark already current) returns an empty
+        frame and the same bookmark."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError("table has no committed version yet")
+        if cur == last_version:
+            # empty frame with the changes() output schema (self-diff)
+            return self.changes(cur, cur), last_version, False
+        try:
+            return self.changes(last_version, cur), cur, False
+        except ValueError:
+            if last_version is None:
+                raise
+            return self.changes(None, cur), cur, True
+
     def state(self, version: int | None = None) -> DataFrame:
         """User-facing final state (tombstones hidden, internals dropped)."""
         return (

@@ -175,3 +175,39 @@ def test_changes_applied_to_before_state_reproduce_after_state(spark, tmp_path):
             else:
                 patched[r["doc_id"]] = r["v"]
         assert patched == after, (v1, v2)
+
+
+def test_read_changes_since_bookmark_protocol(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(
+        _batch(spark, [("insert", f"k{i}", i, float(i)) for i in range(5)]), "e0"
+    )
+    # first call: bootstrap-shaped (None bookmark -> all inserts)
+    ch, bm, boot = t.read_changes_since(None)
+    assert ch.count() == 5 and bm == t.current_version() and boot is False
+    # caught up: empty frame, same bookmark, changes() schema preserved
+    ch2, bm2, boot2 = t.read_changes_since(bm)
+    assert ch2.count() == 0 and bm2 == bm and boot2 is False
+    assert ch2.columns == ch.columns
+    # advance and consume incrementally
+    t.merge_reduced(_batch(spark, [("update", "k1", 100, 11.0)]), "e1")
+    ch3, bm3, _ = t.read_changes_since(bm)
+    assert [(r["doc_id"], r["_change_type"]) for r in ch3.collect()] == [
+        ("k1", "update")
+    ]
+    assert bm3 == t.current_version()
+
+
+def test_read_changes_since_expired_bookmark_bootstraps(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    stale = t.current_version()
+    for i in range(12):
+        t.merge_reduced(_batch(spark, [("update", "a", 10 + i, float(i))]), f"e{i+1}")
+    t.compact()
+    t.expire_snapshots(keep_last=2)
+    ch, bm, boot = t.read_changes_since(stale)
+    assert boot is True and bm == t.current_version()
+    rows = ch.collect()
+    assert [(r["doc_id"], r["_change_type"]) for r in rows] == [("a", "insert")]
+    assert rows[0]["v"] == 11.0  # current state, replace-not-patch
