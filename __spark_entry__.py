@@ -688,6 +688,86 @@ def q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE under the oracle gate: replay the
+    event log in three epochs; a MaterializedAggregate (group by the
+    LWW event_type, COUNT(*) + SUM of an exact integer payload) is
+    refreshed after each epoch — one bootstrap and two O(epoch)
+    incremental patches driven by changes(images='both'). The oracle
+    computes the same aggregate directly over the SQL LWW final state,
+    so hash equality proves patch-maintained == recomputed. (The
+    reference answers this question by re-scanning the whole silver
+    table per query: Instructions.md:121-125.) Integer sums keep the
+    comparison exact (associative addition, no FP-order sensitivity)."""
+    import atexit
+    import shutil
+
+    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
+        sweep_stale_tables,
+        work_root,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.incremental_agg import (
+        MaterializedAggregate,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        SnapshotTable,
+    )
+
+    base = work_root()
+    os.makedirs(base, exist_ok=True)
+    sweep_stale_tables(base)
+
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).first()[0] + 1
+    cuts = [hi // 3, 2 * hi // 3, hi]
+    chg = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") != "error", F.col("event_type")).alias("grp"),
+        F.when(
+            F.col("event_type") != "error", F.pmod(F.col("event_id"), F.lit(1000))
+        ).alias("val"),
+    )
+    proc_dir = os.path.join(base, f"tbl_iagg_{os.getpid()}")
+    if not os.path.isdir(proc_dir):
+        os.makedirs(proc_dir)
+        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
+    sf_tag = "iagg_" + sf_dir.strip("/").replace("/", "_")
+    call = _RT_CALL_SEQ.setdefault(sf_tag, 0)
+    _RT_CALL_SEQ[sf_tag] = call + 1
+    for d in os.listdir(proc_dir):
+        if d.startswith(f"{sf_tag}_c"):
+            try:
+                older = int(d.rsplit("_c", 1)[1]) < call - 1
+            except ValueError:
+                older = False
+            if older:
+                shutil.rmtree(os.path.join(proc_dir, d), ignore_errors=True)
+    root = os.path.join(proc_dir, f"{sf_tag}_c{call}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = SnapshotTable(
+        spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
+    )
+    ma = MaterializedAggregate(
+        spark,
+        table,
+        os.path.join(root, "mv"),
+        ["grp"],
+        sums={"sum_val": "val"},
+    )
+    lo = 0
+    for i, cut in enumerate(cuts):
+        table.merge_reduced(
+            chg.filter((F.col("seq") >= lo) & (F.col("seq") < cut)), f"phase-{i}"
+        )
+        ma.refresh()
+        lo = cut
+    return ma.result().orderBy("grp")
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING path under the oracle gate: replay the event log into
     a SnapshotTable, compact with sort_within_buckets=True (key-sorted
@@ -1019,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "cdc_changes": q_cdc_changes,
+        "incremental_agg": q_incremental_agg,
         "point_lookup": q_point_lookup,
         "scd2_history": q_scd2_history,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1578,6 +1659,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE (NOT vis1 AND vis2) OR (vis1 AND NOT vis2)
                OR (vis1 AND vis2 AND seq1 <> seq2)
             ORDER BY doc_id
+        """,
+        # incremental_agg: the oracle recomputes the aggregate DIRECTLY
+        # over the LWW final state; the Spark side reaches the same rows
+        # via bootstrap + two CDF-driven incremental patches
+        "incremental_agg": """
+            WITH s AS (
+              SELECT user_id,
+                     arg_max(event_type, event_id) AS lop,
+                     arg_max(event_id % 1000, event_id) AS val
+              FROM events GROUP BY user_id
+            )
+            SELECT lop AS grp,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(val) AS BIGINT) AS sum_val
+            FROM s WHERE lop <> 'error'
+            GROUP BY lop ORDER BY grp
         """,
         "scd2_history": """
             WITH h AS (

@@ -482,7 +482,12 @@ class SnapshotTable:
             df = self._resolve(df, schema)
         return df
 
-    def changes(self, v_from: int | None, v_to: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        v_from: int | None,
+        v_to: int | None = None,
+        images: str = "post",
+    ) -> DataFrame:
         """Change data feed between two committed versions (the Delta CDF
         / Iceberg changelog-scan analogue): one row per key whose VISIBLE
         state differs, tagged ``_change_type`` in
@@ -490,6 +495,13 @@ class SnapshotTable:
         post-image payload; deletes carry the pre-image. ``v_from=None``
         diffs against the empty table (everything visible at v_to is an
         insert); ``v_to=None`` means the latest version.
+
+        ``images='both'`` switches updates to the two-row Delta CDF
+        encoding — ``update_preimage`` (old payload, old ``_seq``) then
+        ``update_postimage`` (new payload, new ``_seq``) — which is what
+        downstream incremental maintenance needs: the pre-image is the
+        contribution to RETRACT, the post-image the one to ADD. Inserts
+        and deletes are unchanged (one row each).
 
         Scale shape — the diff never reads two full table states:
 
@@ -508,6 +520,8 @@ class SnapshotTable:
           filtered out, which also makes a pure compaction (state
           preserved, files rewritten) correctly produce zero changes.
         """
+        if images not in ("post", "both"):
+            raise ValueError(f"images must be 'post' or 'both', got {images!r}")
         if v_to is None:
             v_to = self.current_version()
         try:
@@ -574,27 +588,54 @@ class SnapshotTable:
             .when(va & ~vb, F.lit("delete"))
             .when(va & vb & (F.col("__seq_a") != F.col("__seq_b")), F.lit("update"))
         )
-        is_del = F.col("_change_type") == "delete"
-        return (
-            j.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
-            .select(
-                F.col("__k").alias(self.key_col),
-                *[
-                    F.when(is_del, F.col(f"__a_{c}"))
-                    .otherwise(F.col(f"__b_{c}"))
-                    .alias(c)
-                    for c in payload
-                ],
-                F.coalesce(F.col("__seq_b"), F.col("__seq_a")).alias(
-                    self.SEQ_COL
-                ),
-                F.col("_change_type"),
+        classified = j.withColumn("_change_type", change).filter(
+            F.col("_change_type").isNotNull()
+        )
+        if images == "both":
+            # Delta-CDF two-row update encoding via one array+explode —
+            # no second join, no union re-scan of the diff frame.
+            def img(tag: str, ct) -> F.Column:
+                return F.struct(
+                    ct.alias("_ct"),
+                    *[F.col(f"__{tag}_{c}").alias(c) for c in payload],
+                    F.col(f"__seq_{tag}").alias("_sq"),
+                )
+
+            ctc = F.col("_change_type")
+            rows = (
+                F.when(ctc == "insert", F.array(img("b", F.lit("insert"))))
+                .when(ctc == "delete", F.array(img("a", F.lit("delete"))))
+                .otherwise(
+                    F.array(
+                        img("a", F.lit("update_preimage")),
+                        img("b", F.lit("update_postimage")),
+                    )
+                )
             )
+            e = classified.select(
+                F.col("__k"), F.explode(rows).alias("__e")
+            )
+            return e.select(
+                F.col("__k").alias(self.key_col),
+                *[F.col(f"__e.{c}").alias(c) for c in payload],
+                F.col("__e._sq").alias(self.SEQ_COL),
+                F.col("__e._ct").alias("_change_type"),
+            )
+        is_del = F.col("_change_type") == "delete"
+        return classified.select(
+            F.col("__k").alias(self.key_col),
+            *[
+                F.when(is_del, F.col(f"__a_{c}"))
+                .otherwise(F.col(f"__b_{c}"))
+                .alias(c)
+                for c in payload
+            ],
+            F.coalesce(F.col("__seq_b"), F.col("__seq_a")).alias(self.SEQ_COL),
+            F.col("_change_type"),
         )
 
     def read_changes_since(
-        self, last_version: int | None
+        self, last_version: int | None, images: str = "post"
     ) -> tuple[DataFrame, int | None, bool]:
         """Incremental CDF consumption with a consumer bookmark:
         ``(changes, new_bookmark, bootstrapped)``. Pass the version your
@@ -614,13 +655,13 @@ class SnapshotTable:
             raise ValueError("table has no committed version yet")
         if cur == last_version:
             # empty frame with the changes() output schema (self-diff)
-            return self.changes(cur, cur), last_version, False
+            return self.changes(cur, cur, images=images), last_version, False
         try:
-            return self.changes(last_version, cur), cur, False
+            return self.changes(last_version, cur, images=images), cur, False
         except ValueError:
             if last_version is None:
                 raise
-            return self.changes(None, cur), cur, True
+            return self.changes(None, cur, images=images), cur, True
 
     def state(self, version: int | None = None) -> DataFrame:
         """User-facing final state (tombstones hidden, internals dropped)."""

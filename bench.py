@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",
     "embedding_lsh_topk",
     "cdc_changes",
+    "incremental_agg",
     "point_lookup",
     "scd2_history",
     "embedding_near_dup",
