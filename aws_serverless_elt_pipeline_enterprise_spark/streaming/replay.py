@@ -251,13 +251,23 @@ def run_replay(
     compact_every: int | None = None,
     dq_fail_on_corrupt: bool = False,
     notify=None,
+    maintain=None,
 ) -> ReplayResult:
     """Batch replay over epoch dirs (ordered). Resumable from any point:
     the committed-epoch set in the table manifest is the checkpoint; the
     optional checkpoint file only short-circuits directory listing. The
     checkpoint stores an EpochLedger encoding — a cumulative sorted list
     rewritten per epoch would be the same O(n^2) total-bytes pattern the
-    manifest ledger eliminated."""
+    manifest ledger eliminated.
+
+    ``maintain``: optional list of incrementally maintained views
+    (``MaterializedAggregate``-shaped: anything with ``refresh()``)
+    kept in lockstep with the table — each is refreshed after every
+    applied epoch (O(epoch) via the change feed) and once more at the
+    end, so views created or re-attached mid-history catch up even on
+    a run where every epoch skips. View refreshes are themselves
+    exactly-once (ledger-deduped epochs keyed on the consumed version
+    span), so a crash-and-rerun never double-applies a delta."""
     from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
         EpochLedger,
     )
@@ -287,6 +297,8 @@ def run_replay(
             result.lineage.append(lineage)
         if compact_every is not None:
             table.maybe_compact(max_deltas=compact_every)
+        for view in maintain or ():
+            view.refresh()
         # commit-then-checkpoint: table state is authoritative; the file is
         # written only after the table owns the epoch
         if ckpt_file:
@@ -296,6 +308,12 @@ def run_replay(
             with open(tmp, "w") as f:
                 json.dump(done.to_json(), f)
             os.replace(tmp, ckpt_file)
+    # catch-up pass: a view attached after the table already had history
+    # (or a run where every epoch skipped) still converges; no-op when
+    # the view's bookmark is current
+    if maintain and table.current_version() is not None:
+        for view in maintain:
+            view.refresh()
     return result
 
 

@@ -290,3 +290,53 @@ def test_composite_group_and_reserved_name_guard(spark, tmp_path):
         MaterializedAggregate(spark, t, str(tmp_path / "mv2"), ["_group_key"])
     with pytest.raises(ValueError):
         MaterializedAggregate(spark, t, str(tmp_path / "mv3"), [])
+
+
+# ------------------------------------------------------- replay integration
+
+
+def test_run_replay_maintains_views_in_lockstep(spark, tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        run_replay,
+    )
+
+    log = str(tmp_path / "log")
+    generate_changelog(
+        spark, log, ChangelogSpec(n_events=4000, n_keys=300, n_batches=4)
+    )
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), key_col="doc_id", n_buckets=8, mode="mor"
+    )
+    ma = MaterializedAggregate(
+        spark, t, str(tmp_path / "mv"), ["source"], sums={"tok_total": "n_tok"}
+    )
+    run_replay(spark, log, t, maintain=[ma], compact_every=2)
+    expect = {
+        r["source"]: (r["cnt"], r["tok"])
+        for r in t.state()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    got = {
+        r["source"]: (r["cnt"], r["tok_total"]) for r in ma.result().collect()
+    }
+    assert got == expect and len(got) > 1
+    # idempotent rerun: all epochs skip, the catch-up refresh is a no-op
+    v = ma.agg.current_version()
+    res2 = run_replay(spark, log, t, maintain=[ma])
+    assert not res2.epochs_applied
+    assert ma.agg.current_version() == v
+    assert {
+        r["source"]: (r["cnt"], r["tok_total"]) for r in ma.result().collect()
+    } == expect
+    # a view ATTACHED after the fact catches up via the end-of-run pass
+    ma2 = MaterializedAggregate(spark, t, str(tmp_path / "mv2"), ["source"])
+    run_replay(spark, log, t, maintain=[ma2])
+    assert {r["source"]: r["cnt"] for r in ma2.result().collect()} == {
+        s: c for s, (c, _) in expect.items()
+    }
