@@ -825,6 +825,75 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.lookup(keys).select("doc_id", "value").orderBy("doc_id")
 
 
+def q_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECONDARY-INDEX serving under the oracle gate: replay the event
+    log into a SnapshotTable in two epochs with a SecondaryIndex on the
+    (non-key) event_type column maintained from the CDF between them —
+    bootstrap after epoch one, an incremental entry-move patch after
+    epoch two. The probe answers "which docs currently have
+    event_type IN (purchase, signup)" by hashing the VALUES to their
+    index buckets (value-clustered bucket_col layout) — the reference's
+    same-shape Athena probe (WHERE shipment_id = X,
+    Instructions.md:127-130) scans the whole partition. The oracle
+    recomputes the answer as SQL LWW over the raw events, so hash
+    equality proves the maintained index serves exactly the live
+    state."""
+    import atexit
+    import shutil
+
+    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
+        sweep_stale_tables,
+        work_root,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.secondary_index import (
+        SecondaryIndex,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        SnapshotTable,
+    )
+
+    base = work_root()
+    os.makedirs(base, exist_ok=True)
+    sweep_stale_tables(base)
+
+    ev = _t(spark, sf_dir, "events")
+    cut = (ev.agg(F.max("event_id")).first()[0] + 1) // 2
+    chg = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") != "error", F.col("event_type")).alias("etype"),
+    )
+    proc_dir = os.path.join(base, f"tbl_six_{os.getpid()}")
+    if not os.path.isdir(proc_dir):
+        os.makedirs(proc_dir)
+        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
+    sf_tag = "six_" + sf_dir.strip("/").replace("/", "_")
+    call = _RT_CALL_SEQ.setdefault(sf_tag, 0)
+    _RT_CALL_SEQ[sf_tag] = call + 1
+    for d in os.listdir(proc_dir):
+        if d.startswith(f"{sf_tag}_c"):
+            try:
+                older = int(d.rsplit("_c", 1)[1]) < call - 1
+            except ValueError:
+                older = False
+            if older:
+                shutil.rmtree(os.path.join(proc_dir, d), ignore_errors=True)
+    root = os.path.join(proc_dir, f"{sf_tag}_c{call}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = SnapshotTable(
+        spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
+    )
+    ix = SecondaryIndex(spark, table, os.path.join(root, "ix"), "etype", n_buckets=16)
+    table.merge_reduced(chg.filter(F.col("seq") < cut), "phase-1")
+    ix.refresh()  # bootstrap
+    table.merge_reduced(chg.filter(F.col("seq") >= cut), "phase-2")
+    ix.refresh()  # incremental: index entries move with the LWW state
+    return ix.lookup(["purchase", "signup"]).orderBy("etype", "doc_id")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/sessions.py): session id per
     user, new session when >1h passes between events. One key shuffle,
@@ -1100,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "cdc_changes": q_cdc_changes,
         "incremental_agg": q_incremental_agg,
+        "secondary_lookup": q_secondary_lookup,
         "point_lookup": q_point_lookup,
         "scd2_history": q_scd2_history,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1659,6 +1729,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE (NOT vis1 AND vis2) OR (vis1 AND NOT vis2)
                OR (vis1 AND vis2 AND seq1 <> seq2)
             ORDER BY doc_id
+        """,
+        # secondary_lookup: the oracle recomputes the probe DIRECTLY over
+        # the LWW final state; the Spark side serves it from the
+        # CDF-maintained value-bucketed index
+        "secondary_lookup": """
+            WITH s AS (
+              SELECT CAST(user_id AS VARCHAR) AS doc_id,
+                     arg_max(event_type, event_id) AS lop
+              FROM events GROUP BY user_id
+            )
+            SELECT lop AS etype, doc_id
+            FROM s WHERE lop IN ('purchase', 'signup')
+            ORDER BY etype, doc_id
         """,
         # incremental_agg: the oracle recomputes the aggregate DIRECTLY
         # over the LWW final state; the Spark side reaches the same rows

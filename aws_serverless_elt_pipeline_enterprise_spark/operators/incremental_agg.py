@@ -48,7 +48,6 @@ not.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Sequence
 
@@ -56,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tableio.snapshot import SnapshotTable
+from .cdf_consumer import CdfBookmark
 
 _SEP = "\x1f"
 _NULL = "\x00null"
@@ -97,6 +97,7 @@ class MaterializedAggregate:
             n_buckets=n_buckets,
             mode="mor",
         )
+        self._bm = CdfBookmark(os.path.join(path, "bookmark.json"), self.agg)
 
     # ------------------------------------------------------------ internals
 
@@ -110,42 +111,19 @@ class MaterializedAggregate:
         ]
         return F.concat_ws(_SEP, *parts)
 
+    # bookmark + crash-recovery fast-forward live in CdfBookmark (shared
+    # with SecondaryIndex); kept as thin aliases for the tests
     def _bookmark_path(self) -> str:
-        return os.path.join(self.path, "bookmark.json")
+        return self._bm.path
 
     def _read_bookmark(self) -> int | None:
-        try:
-            with open(self._bookmark_path()) as f:
-                return json.load(f)["last_version"]
-        except FileNotFoundError:
-            return None
+        return self._bm.read()
 
     def _write_bookmark(self, v: int) -> None:
-        tmp = self._bookmark_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_version": v}, f)
-        os.replace(tmp, self._bookmark_path())
+        self._bm.write(v)
 
     def _ledger_fastforward(self, bookmark: int | None) -> int | None:
-        """Crash-recovery guard: the refresh epoch commits BEFORE the
-        bookmark file is rewritten, so a crash between the two leaves a
-        stale bookmark. Recomputing the delta from the stale bookmark
-        against a source that advanced further would double-apply the
-        already-committed span (two epoch ids, ledger can't dedup). The
-        agg table's own epoch ledger is the authority: epoch ids are
-        ``cdf-<from>-<to>``, and since refreshes chain (next from ==
-        last to), at most one committed epoch has this ``from`` — its
-        ``to`` is the true bookmark."""
-        if bookmark is None:
-            return None
-        ledger = self.agg.committed_epochs()
-        # EpochLedger._parse("cdf-5-7") -> key "cdf-5", n 7
-        key = f"cdf-{bookmark}"
-        hi = ledger.watermarks.get(key, -1)
-        ex = ledger.extras.get(key, set())
-        if ex:
-            hi = max(hi, max(ex))
-        return hi if hi >= 0 else bookmark
+        return self._bm.fastforward(bookmark)
 
     def _accumulators(self, src, sign: F.Column | None) -> list[F.Column]:
         """Per-group accumulator aggregates; ``sign=None`` for the full
@@ -189,6 +167,7 @@ class MaterializedAggregate:
             n_buckets=self.n_buckets,
             mode="mor",
         )
+        self._bm.derived = self.agg
         lineage = self.agg.merge_reduced(rows, f"cdfboot-{to_version}")
         self._write_bookmark(to_version)
         return {
@@ -309,7 +288,9 @@ class MaterializedAggregate:
             )
             .withColumn("seq", F.lit(to_v).cast("long"))
         )
-        lineage = self.agg.merge_reduced(rows, f"cdf-{bookmark}-{to_v}")
+        lineage = self.agg.merge_reduced(
+            rows, CdfBookmark.span_epoch_id(bookmark, to_v)
+        )
         self._write_bookmark(to_v)
         return {
             "from_version": bookmark,

@@ -290,6 +290,7 @@ class SnapshotTable:
         key_col: str = "doc_id",
         n_buckets: int = 32,
         mode: str = "cow",
+        bucket_col: str | None = None,
     ):
         assert mode in ("cow", "mor"), mode
         self.spark = spark
@@ -297,6 +298,14 @@ class SnapshotTable:
         self.key_col = key_col
         self.n_buckets = n_buckets
         self.mode = mode
+        # bucket_col defaults to the key (co-locating merges and point
+        # lookups). A DIFFERENT bucket_col turns the table into a
+        # value-clustered layout (e.g. a secondary index bucketed by the
+        # indexed value so value probes prune): the caller must
+        # guarantee a key's bucket_col value NEVER changes across its
+        # lifetime (for an index, the value is embedded in the key), or
+        # COW merges would miss the stored row.
+        self.bucket_col = bucket_col or key_col
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "commits"), exist_ok=True)
         # An existing table's manifest is the source of truth for the
@@ -311,6 +320,7 @@ class SnapshotTable:
                 self.n_buckets = int(m["n_buckets"])
             if "key_col" in m:
                 self.key_col = m["key_col"]
+            self.bucket_col = m.get("bucket_col", self.key_col)
 
     # ---------------------------------------------------------------- meta
 
@@ -676,24 +686,15 @@ class SnapshotTable:
         requested keys are scanned (plus any pending global deltas). At
         10^10 rows / 4096 buckets this reads ~1/4096th of the table per
         distinct bucket instead of scanning it."""
-        # hash the keys AS THE TABLE'S KEY TYPE: xxhash64('42') !=
-        # xxhash64(42L), so a string-typed probe against a bigint key_col
-        # would prune to the wrong buckets and silently return nothing
-        sch = self.schema()
-        ktype: T.DataType = T.StringType()
-        if sch is not None:
-            for f in sch.fields:
-                if f.name == self.key_col:
-                    ktype = f.dataType
-        key_rows = self.spark.createDataFrame(
-            [(str(k),) for k in keys],
-            T.StructType([T.StructField("k", T.StringType())]),
-        ).select(
-            F.pmod(F.xxhash64(F.col("k").cast(ktype)), F.lit(self.n_buckets))
-            .cast("int")
-            .alias("b")
+        # key-hash pruning is only valid when the table is bucketed BY
+        # the key; a value-clustered table (bucket_col != key_col) falls
+        # back to a full scan here — probe such tables by bucket value
+        # (buckets_for) instead
+        buckets = (
+            self.buckets_for(keys, version)
+            if self.bucket_col == self.key_col
+            else None
         )
-        buckets = sorted({r.b for r in key_rows.distinct().collect()})
         df = self.read(version=version, buckets=buckets)
         return (
             df.filter(F.col(self.key_col).isin(*keys))
@@ -708,7 +709,43 @@ class SnapshotTable:
     # --------------------------------------------------------------- merge
 
     def bucket_expr(self) -> F.Column:
-        return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)).cast("int")
+        return F.pmod(
+            F.xxhash64(F.col(self.bucket_col)), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def _n_buckets_at(self, version: int | None) -> int:
+        """The bucket COUNT in force at a given version — after a
+        ``rebucket``, probing an older snapshot with the current count
+        would hash to the wrong buckets and silently miss rows."""
+        if version is None:
+            return self.n_buckets
+        m = self.manifest(version)
+        if m is None:
+            return self.n_buckets
+        return int(m.get("n_buckets", self.n_buckets))
+
+    def buckets_for(self, values: list, version: int | None = None) -> list[int]:
+        """The bucket ids the given ``bucket_col`` values hash to —
+        hashed AS THE STORED COLUMN TYPE (xxhash64('42') != xxhash64(42L),
+        so an untyped probe would prune to the wrong buckets and silently
+        return nothing) and with the bucket count IN FORCE at the probed
+        version. One tiny local-list job; never touches the table."""
+        sch = self.schema()
+        vtype: T.DataType = T.StringType()
+        if sch is not None:
+            for f in sch.fields:
+                if f.name == self.bucket_col:
+                    vtype = f.dataType
+        nb = self._n_buckets_at(version)
+        rows = self.spark.createDataFrame(
+            [(None if v is None else str(v),) for v in values],
+            T.StructType([T.StructField("v", T.StringType())]),
+        ).select(
+            F.pmod(F.xxhash64(F.col("v").cast(vtype)), F.lit(nb))
+            .cast("int")
+            .alias("b")
+        )
+        return sorted({r.b for r in rows.distinct().collect() if r.b is not None})
 
     def merge_reduced(
         self,
@@ -744,6 +781,24 @@ class SnapshotTable:
         schema = (
             unify_schemas(old_schema, payload_schema) if old_schema else payload_schema
         )
+        if old_schema is not None:
+            # the bucket column's TYPE is part of the bucketing function:
+            # xxhash64(42 as int) != xxhash64(42L), so widening it would
+            # re-hash every future row of an existing key into a
+            # different bucket (COW would miss the stored row -> duplicate
+            # live rows). Evolution of other columns is unaffected.
+            old_bt = {f.name: f.dataType for f in old_schema.fields}.get(
+                self.bucket_col
+            )
+            new_bt = {f.name: f.dataType for f in schema.fields}.get(
+                self.bucket_col
+            )
+            if old_bt is not None and new_bt is not None and old_bt != new_bt:
+                raise ValueError(
+                    f"cannot evolve bucket column {self.bucket_col!r} from "
+                    f"{old_bt.simpleString()} to {new_bt.simpleString()}: the "
+                    "bucket hash is type-sensitive"
+                )
 
         batch = reduced.withColumn(self.BUCKET_COL, self.bucket_expr())
         if self.mode == "mor":
@@ -1026,6 +1081,7 @@ class SnapshotTable:
             "schema": json.dumps(schema.jsonValue()),
             "n_buckets": self.n_buckets,
             "key_col": self.key_col,
+            "bucket_col": self.bucket_col,
             "buckets": buckets_map,
             "global_deltas": global_deltas,
             "dir_kinds": kinds,
@@ -1098,6 +1154,67 @@ class SnapshotTable:
             if d.startswith(f"{self.BUCKET_COL}=")
         }
         lineage = {"epoch_id": "__compaction", "version": version, "compaction": True}
+        self._commit_manifest(
+            version, schema, buckets_map, self.committed_epochs(), lineage,
+            new_dir=commit_rel, new_dir_kind="base", global_deltas=[],
+        )
+        return lineage
+
+    def rebucket(self, n_buckets: int, sort_within_buckets: bool = False) -> dict:
+        """Online bucket-count evolution: rewrite the snapshot under a
+        NEW bucket count in one commit (Iceberg's bucket-transform spec
+        evolution + rewrite_data_files, as one operation). The 100 TB
+        motivation: a table sized at 32 buckets when small eventually
+        serves multi-GB buckets — lookups read too much, merges shuffle
+        too coarsely — and the fix must not stop ingest.
+
+        Semantics: state-preserving (rows AND tombstones carry over with
+        their ``_seq``, so the anti-resurrection guard survives), the
+        epoch ledger carries over (replayed epochs still skip), and the
+        new count takes effect for every subsequent merge/probe. Older
+        snapshots remain readable: per-version probes hash with the
+        bucket count IN FORCE at that version (``_n_buckets_at``), and a
+        pure rebucket produces ZERO rows in ``changes()`` — the
+        cross-boundary diff degrades to a full-state diff (every
+        bucket's commit list changed) but filters to same-``_seq``
+        nothing, exactly like a pure compaction."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        m = self.manifest()
+        if m is None:
+            # nothing committed yet: the new count simply takes effect
+            self.n_buckets = int(n_buckets)
+            return {"skipped": True, "n_buckets": self.n_buckets}
+        if int(n_buckets) == self.n_buckets:
+            return {"skipped": True, "n_buckets": self.n_buckets}
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        df = self.read()
+        old_n = self.n_buckets
+        self.n_buckets = int(n_buckets)
+        df = df.drop(self.BUCKET_COL).withColumn(
+            self.BUCKET_COL, self.bucket_expr()
+        )
+        version = self.current_version() + 1
+        commit_rel = os.path.join("commits", f"c_{version:06d}_rebucket")
+        commit_abs = os.path.join(self.root, commit_rel)
+        out = df.repartition(self.n_buckets, F.col(self.BUCKET_COL))
+        if sort_within_buckets:
+            out = out.sortWithinPartitions(self.BUCKET_COL, self.key_col)
+        (
+            out.write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(commit_abs)
+        )
+        buckets_map = {
+            d.split("=", 1)[1]: [commit_rel]
+            for d in os.listdir(commit_abs)
+            if d.startswith(f"{self.BUCKET_COL}=")
+        }
+        lineage = {
+            "epoch_id": "__rebucket",
+            "version": version,
+            "rebucket": {"from": old_n, "to": self.n_buckets},
+        }
         self._commit_manifest(
             version, schema, buckets_map, self.committed_epochs(), lineage,
             new_dir=commit_rel, new_dir_kind="base", global_deltas=[],

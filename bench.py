@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "embedding_lsh_topk",
     "cdc_changes",
     "incremental_agg",
+    "secondary_lookup",
     "point_lookup",
     "scd2_history",
     "embedding_near_dup",
