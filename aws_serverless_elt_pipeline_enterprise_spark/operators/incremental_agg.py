@@ -216,7 +216,10 @@ class MaterializedAggregate:
             zero = zero & (F.col(f"__s_{name}") == 0) & (
                 F.col(f"__n_{name}") == 0
             )
-        delta = delta.filter(~zero)
+        # the delta feeds TWO actions (touched-bucket probe, then the
+        # merge); without a persist the whole CDF diff — the expensive
+        # two-sided read — would execute twice
+        delta = delta.filter(~zero).persist()
 
         # Read ONLY the agg buckets containing touched groups. The
         # collect is bounded by n_buckets values, not by group count.
@@ -288,9 +291,12 @@ class MaterializedAggregate:
             )
             .withColumn("seq", F.lit(to_v).cast("long"))
         )
-        lineage = self.agg.merge_reduced(
-            rows, CdfBookmark.span_epoch_id(bookmark, to_v)
-        )
+        try:
+            lineage = self.agg.merge_reduced(
+                rows, CdfBookmark.span_epoch_id(bookmark, to_v)
+            )
+        finally:
+            delta.unpersist()
         self._write_bookmark(to_v)
         return {
             "from_version": bookmark,

@@ -282,6 +282,10 @@ class SnapshotTable:
     BUCKET_COL = "_bucket"
     DEL_COL = "_deleted"  # tombstone: key deleted at _seq; kept so a late
     # lower-seq update cannot resurrect the row (LWW against the tombstone)
+    # changes(): spans touching at most this many keys narrow via a
+    # driver-collected literal IN predicate (parquet row-group skipping);
+    # larger spans narrow via a pre-resolve semi-join (bounded collect)
+    NARROW_INLIST_MAX = 2000
 
     def __init__(
         self,
@@ -441,12 +445,18 @@ class SnapshotTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         resolve: bool = True,
+        key_semi: DataFrame | None = None,
     ) -> DataFrame:
         """Snapshot as a DataFrame (internal cols included). ``buckets``
         limits the scan to those hash buckets — the partition-pruning path
         the merge uses. When any requested bucket carries MOR deltas, the
         LWW resolution is applied (skippable with resolve=False for raw
-        delta inspection)."""
+        delta inspection). ``key_semi`` (a one-column frame named
+        ``__dk``) semi-joins the raw rows down to those keys BEFORE the
+        LWW resolve — whole-key filtering commutes with per-key max_by,
+        and placing it below the aggregate is what keeps the resolve
+        shuffle O(matched keys) instead of O(scanned rows) (Catalyst
+        does not push a LeftSemi through the Aggregate on its own)."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"])) if m else None
         if m is None or (not m["buckets"] and not m.get("global_deltas")):
@@ -488,6 +498,10 @@ class SnapshotTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if key_semi is not None:
+            df = df.join(
+                key_semi, F.col(self.key_col) == F.col("__dk"), "leftsemi"
+            )
         if needs_resolve and resolve:
             df = self._resolve(df, schema)
         return df
@@ -497,6 +511,7 @@ class SnapshotTable:
         v_from: int | None,
         v_to: int | None = None,
         images: str = "post",
+        narrow: str = "auto",
     ) -> DataFrame:
         """Change data feed between two committed versions (the Delta CDF
         / Iceberg changelog-scan analogue): one row per key whose VISIBLE
@@ -528,10 +543,17 @@ class SnapshotTable:
           buckets it touched;
         * rows resolved to the SAME ``_seq`` at both versions are
           filtered out, which also makes a pure compaction (state
-          preserved, files rewritten) correctly produce zero changes.
+          preserved, files rewritten) correctly produce zero changes;
+        * for a MOR-only span (no bucket rewrite between the versions)
+          both sides are additionally semi-joined down to the added
+          deltas' key set — see the inline comment. ``narrow`` controls
+          it: 'auto' (default) applies a driver-side selectivity gate,
+          'on' forces it whenever the span is MOR-only, 'off' disables.
         """
         if images not in ("post", "both"):
             raise ValueError(f"images must be 'post' or 'both', got {images!r}")
+        if narrow not in ("auto", "on", "off"):
+            raise ValueError(f"narrow must be auto/on/off, got {narrow!r}")
         if v_to is None:
             v_to = self.current_version()
         try:
@@ -560,13 +582,80 @@ class SnapshotTable:
         cand |= {int(b) for b in fb if b not in tb}
         fg = set((m_from or {}).get("global_deltas", []))
         added_g = [d for d in m_to.get("global_deltas", []) if d not in fg]
+        delta_keys = None
+        key_pred = None
         if added_g:
             gdf = self.spark.read.schema(self._data_schema(schema)).parquet(
                 *[os.path.join(self.root, d) for d in added_g]
             )
-            cand |= {
-                r[0] for r in gdf.select(self.BUCKET_COL).distinct().collect()
-            }
+            # MOR-only span (no bucket rewrite between the versions):
+            # every key whose state changed appears in a delta added in
+            # the span (minor compaction only folds those same keys), so
+            # BOTH sides of the diff can be narrowed to the delta keys —
+            # a small epoch against a 10^10-row table then compares
+            # O(epoch) keys instead of scanning every touched bucket
+            # whole. Gated ('auto') on a driver-side selectivity
+            # estimate (added-delta bytes vs table bytes): when the span
+            # touched a large fraction of the table, narrowing only adds
+            # work.
+            narrow_ok = m_from is not None and fb == tb and narrow != "off"
+            added_bytes = 0
+            if narrow_ok:
+
+                def _dir_bytes(rel: str) -> int:
+                    total = 0
+                    for dp, _dn, fn in os.walk(os.path.join(self.root, rel)):
+                        total += sum(
+                            os.path.getsize(os.path.join(dp, f))
+                            for f in fn
+                            if f.endswith(".parquet")
+                        )
+                    return total
+
+                added_bytes = sum(_dir_bytes(d) for d in added_g)
+                if narrow != "on":
+                    table_dirs = {
+                        d for dirs in tb.values() for d in dirs
+                    } | set(m_to.get("global_deltas", []))
+                    table_bytes = sum(_dir_bytes(d) for d in table_dirs)
+                    narrow_ok = added_bytes * 8 < table_bytes
+            if narrow_ok:
+                # One bounded job: distinct (key, bucket) pairs of the
+                # span's deltas, capped at NARROW_INLIST_MAX+1. A small
+                # span collapses to a literal IN predicate — pushed into
+                # the parquet scan, so sorted-compacted buckets row-group
+                # -skip straight to the touched keys — and its pairs
+                # already carry the exact touched-bucket set. A larger
+                # span keeps a pre-resolve semi-join (read(key_semi=)),
+                # broadcast while the delta side is small.
+                pairs = (
+                    gdf.select(self.key_col, self.BUCKET_COL)
+                    .distinct()
+                    .limit(self.NARROW_INLIST_MAX + 1)
+                    .collect()
+                )
+                if len(pairs) <= self.NARROW_INLIST_MAX:
+                    cand |= {int(r[1]) for r in pairs}
+                    key_pred = F.col(self.key_col).isin(
+                        list({r[0] for r in pairs})
+                    )
+                else:
+                    cand |= {
+                        r[0]
+                        for r in gdf.select(self.BUCKET_COL)
+                        .distinct()
+                        .collect()
+                    }
+                    delta_keys = gdf.select(
+                        F.col(self.key_col).alias("__dk")
+                    ).distinct()
+                    if added_bytes < (64 << 20):
+                        delta_keys = F.broadcast(delta_keys)
+            else:
+                cand |= {
+                    r[0]
+                    for r in gdf.select(self.BUCKET_COL).distinct().collect()
+                }
 
         def side(df: DataFrame, tag: str) -> DataFrame:
             return df.select(
@@ -583,8 +672,17 @@ class SnapshotTable:
             j = side(empty, "a").join(side(empty, "b"), "__k", "full")
         else:
             bs = sorted(cand)
-            before = self.read(v_from, buckets=bs) if m_from else empty
-            after = self.read(v_to, buckets=bs)
+            before = (
+                self.read(v_from, buckets=bs, key_semi=delta_keys)
+                if m_from
+                else empty
+            )
+            after = self.read(v_to, buckets=bs, key_semi=delta_keys)
+            if key_pred is not None:
+                # plain grouping-key filter: Catalyst pushes it through
+                # the resolve aggregate down to the parquet scan
+                before = before.filter(key_pred)
+                after = after.filter(key_pred)
             j = side(before, "a").join(side(after, "b"), "__k", "full")
 
         def vis(tag: str) -> F.Column:

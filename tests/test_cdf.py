@@ -211,3 +211,45 @@ def test_read_changes_since_expired_bookmark_bootstraps(spark, tmp_path):
     rows = ch.collect()
     assert [(r["doc_id"], r["_change_type"]) for r in rows] == [("a", "insert")]
     assert rows[0]["v"] == 11.0  # current state, replace-not-patch
+
+
+def test_changes_mor_only_span_narrows_to_delta_keys(spark, tmp_path):
+    """For a span of MOR deltas (bucket lists unchanged) the diff is
+    narrowed to the added deltas' keys: a small span becomes a literal
+    key predicate pushed into the parquet scan; a larger one a
+    pre-resolve LeftSemi on both sides. A compaction in the span
+    disables narrowing entirely."""
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(
+        _batch(spark, [("insert", f"k{i}", i, float(i)) for i in range(500)]), "e0"
+    )
+    v1 = t.current_version()
+    t.merge_reduced(_batch(spark, [("update", "k3", 100, 33.0)]), "e1")
+    # small tier: one touched key -> IN-list predicate, no semi-join,
+    # and the predicate reaches the scan (PushedFilters on doc_id)
+    phys = t.changes(v1)._jdf.queryExecution().executedPlan().toString()
+    opt = t.changes(v1)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" not in opt
+    assert "k3" in opt  # the literal key appears as a filter value
+    assert "PushedFilters: [" in phys and "doc_id" in phys.split(
+        "PushedFilters: ["
+    )[1].split("]")[0]
+    assert [(r["doc_id"], r["v"]) for r in t.changes(v1).collect()] == [
+        ("k3", 33.0)
+    ]
+    # large tier: force the IN-list cap down -> pre-resolve semi-join
+    t.NARROW_INLIST_MAX = 0
+    opt2 = t.changes(v1)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt2.count("LeftSemi") == 2
+    assert [(r["doc_id"], r["v"]) for r in t.changes(v1).collect()] == [
+        ("k3", 33.0)
+    ]
+    del t.NARROW_INLIST_MAX
+    # compaction rewrites bucket lists -> narrowing off, result identical
+    t.compact()
+    t.merge_reduced(_batch(spark, [("update", "k4", 101, 44.0)]), "e2")
+    opt3 = t.changes(v1)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" not in opt3 and "k3" not in opt3
+    assert sorted(
+        (r["doc_id"], r["v"]) for r in t.changes(v1).collect()
+    ) == [("k3", 33.0), ("k4", 44.0)]
