@@ -538,13 +538,6 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     state as pure SQL LWW (arg_max by seq, drop keys whose last op is
     delete) — the north rule's final-state-after-replay criterion checked
     by the driver, not just by pytest."""
-    import atexit
-    import shutil
-
-    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
-        sweep_stale_tables,
-        work_root,
-    )
     from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
         apply_epoch,
     )
@@ -554,17 +547,11 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Table lives on the SAME tmpfs work root bench.py uses (r3's driver
     # artifact showed a 2.8x roundtrip swing when this wrote under /tmp's
-    # ext4 while the replay bench wrote to /dev/shm). Per-call subdirs,
-    # previous call's dir retained (see below): tmpfs is RAM, so a
-    # median-of-N bench looping this query stays bounded at 2 copies,
+    # ext4 while the replay bench wrote to /dev/shm). Per-CALL subdir,
+    # previous call's dir retained (_fresh_call_root): tmpfs is RAM, so
+    # a median-of-N bench looping this query stays bounded at 2 copies,
     # while a caller that collects a previously returned lazy frame
-    # after a second call still reads a live table. Cleanup is the
-    # shared dead-pid sweep (tbl_rt_<pid> matches benchkit's tbl_* glob)
-    # plus one atexit rmtree.
-    base = work_root()
-    os.makedirs(base, exist_ok=True)
-    sweep_stale_tables(base)
-
+    # after a second call still reads a live table.
     ev = _t(spark, sf_dir, "events")
     chg = ev.select(
         F.when(F.col("event_type") == "error", F.lit("delete"))
@@ -578,29 +565,7 @@ def q_cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tokens"),
         F.when(F.col("event_type") != "error", F.lit(1)).alias("n_tok"),
     )
-    proc_dir = os.path.join(base, f"tbl_rt_{os.getpid()}")
-    if not os.path.isdir(proc_dir):
-        os.makedirs(proc_dir)
-        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
-    # per-CALL subdir, not per-sf_dir: the returned DataFrame is lazy,
-    # and a caller holding two roundtrip results and collecting them
-    # after both calls must not read a wiped table. Older siblings are
-    # swept with the immediately previous call's dir retained, so tmpfs
-    # growth stays bounded at 2 table copies per (pid, sf_dir) while
-    # the last returned frame stays readable.
-    sf_tag = sf_dir.strip("/").replace("/", "_")
-    seq = _RT_CALL_SEQ.setdefault(sf_tag, 0)
-    _RT_CALL_SEQ[sf_tag] = seq + 1
-    for d in os.listdir(proc_dir):
-        if d.startswith(f"{sf_tag}_c"):
-            try:
-                older = int(d.rsplit("_c", 1)[1]) < seq - 1
-            except ValueError:
-                older = False
-            if older:
-                shutil.rmtree(os.path.join(proc_dir, d), ignore_errors=True)
-    root = os.path.join(proc_dir, f"{sf_tag}_c{seq}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _fresh_call_root("rt", sf_dir)
     table = SnapshotTable(
         spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
     )
@@ -625,20 +590,9 @@ def q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (insert / update / delete with post-/pre-images, manifest-diff
     bucket pruning). The oracle recomputes both versions' visible states
     as SQL LWW and classifies the same transitions."""
-    import atexit
-    import shutil
-
-    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
-        sweep_stale_tables,
-        work_root,
-    )
     from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
         SnapshotTable,
     )
-
-    base = work_root()
-    os.makedirs(base, exist_ok=True)
-    sweep_stale_tables(base)
 
     ev = _t(spark, sf_dir, "events")
     cut = (ev.agg(F.max("event_id")).first()[0] + 1) // 2
@@ -650,25 +604,7 @@ def q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("seq"),
         F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
     )
-    proc_dir = os.path.join(base, f"tbl_cdf_{os.getpid()}")
-    if not os.path.isdir(proc_dir):
-        os.makedirs(proc_dir)
-        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
-    # same per-call retention protocol as q_cdc_replay_roundtrip: the
-    # returned frame is lazy, so the previous call's table stays readable
-    sf_tag = "cdf_" + sf_dir.strip("/").replace("/", "_")
-    call = _RT_CALL_SEQ.setdefault(sf_tag, 0)
-    _RT_CALL_SEQ[sf_tag] = call + 1
-    for d in os.listdir(proc_dir):
-        if d.startswith(f"{sf_tag}_c"):
-            try:
-                older = int(d.rsplit("_c", 1)[1]) < call - 1
-            except ValueError:
-                older = False
-            if older:
-                shutil.rmtree(os.path.join(proc_dir, d), ignore_errors=True)
-    root = os.path.join(proc_dir, f"{sf_tag}_c{call}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _fresh_call_root("cdf", sf_dir)
     table = SnapshotTable(
         spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
     )
@@ -699,23 +635,12 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference answers this question by re-scanning the whole silver
     table per query: Instructions.md:121-125.) Integer sums keep the
     comparison exact (associative addition, no FP-order sensitivity)."""
-    import atexit
-    import shutil
-
-    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
-        sweep_stale_tables,
-        work_root,
-    )
     from aws_serverless_elt_pipeline_enterprise_spark.operators.incremental_agg import (
         MaterializedAggregate,
     )
     from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
         SnapshotTable,
     )
-
-    base = work_root()
-    os.makedirs(base, exist_ok=True)
-    sweep_stale_tables(base)
 
     ev = _t(spark, sf_dir, "events")
     hi = ev.agg(F.max("event_id")).first()[0] + 1
@@ -731,23 +656,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") != "error", F.pmod(F.col("event_id"), F.lit(1000))
         ).alias("val"),
     )
-    proc_dir = os.path.join(base, f"tbl_iagg_{os.getpid()}")
-    if not os.path.isdir(proc_dir):
-        os.makedirs(proc_dir)
-        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
-    sf_tag = "iagg_" + sf_dir.strip("/").replace("/", "_")
-    call = _RT_CALL_SEQ.setdefault(sf_tag, 0)
-    _RT_CALL_SEQ[sf_tag] = call + 1
-    for d in os.listdir(proc_dir):
-        if d.startswith(f"{sf_tag}_c"):
-            try:
-                older = int(d.rsplit("_c", 1)[1]) < call - 1
-            except ValueError:
-                older = False
-            if older:
-                shutil.rmtree(os.path.join(proc_dir, d), ignore_errors=True)
-    root = os.path.join(proc_dir, f"{sf_tag}_c{call}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _fresh_call_root("iagg", sf_dir)
     table = SnapshotTable(
         spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
     )
@@ -775,20 +684,9 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups for ten keys — the scan reads only the probed keys' hash
     buckets and the pushed key filter skips row groups within them. The
     oracle recomputes the same rows as SQL LWW over the raw events."""
-    import atexit
-    import shutil
-
-    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
-        sweep_stale_tables,
-        work_root,
-    )
     from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
         SnapshotTable,
     )
-
-    base = work_root()
-    os.makedirs(base, exist_ok=True)
-    sweep_stale_tables(base)
 
     ev = _t(spark, sf_dir, "events")
     chg = ev.select(
@@ -799,23 +697,7 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("seq"),
         F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
     )
-    proc_dir = os.path.join(base, f"tbl_plk_{os.getpid()}")
-    if not os.path.isdir(proc_dir):
-        os.makedirs(proc_dir)
-        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
-    sf_tag = "plk_" + sf_dir.strip("/").replace("/", "_")
-    call = _RT_CALL_SEQ.setdefault(sf_tag, 0)
-    _RT_CALL_SEQ[sf_tag] = call + 1
-    for d in os.listdir(proc_dir):
-        if d.startswith(f"{sf_tag}_c"):
-            try:
-                older = int(d.rsplit("_c", 1)[1]) < call - 1
-            except ValueError:
-                older = False
-            if older:
-                shutil.rmtree(os.path.join(proc_dir, d), ignore_errors=True)
-    root = os.path.join(proc_dir, f"{sf_tag}_c{call}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _fresh_call_root("plk", sf_dir)
     table = SnapshotTable(
         spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
     )
@@ -838,23 +720,12 @@ def q_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the answer as SQL LWW over the raw events, so hash
     equality proves the maintained index serves exactly the live
     state."""
-    import atexit
-    import shutil
-
-    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
-        sweep_stale_tables,
-        work_root,
-    )
     from aws_serverless_elt_pipeline_enterprise_spark.operators.secondary_index import (
         SecondaryIndex,
     )
     from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
         SnapshotTable,
     )
-
-    base = work_root()
-    os.makedirs(base, exist_ok=True)
-    sweep_stale_tables(base)
 
     ev = _t(spark, sf_dir, "events")
     cut = (ev.agg(F.max("event_id")).first()[0] + 1) // 2
@@ -866,23 +737,7 @@ def q_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("seq"),
         F.when(F.col("event_type") != "error", F.col("event_type")).alias("etype"),
     )
-    proc_dir = os.path.join(base, f"tbl_six_{os.getpid()}")
-    if not os.path.isdir(proc_dir):
-        os.makedirs(proc_dir)
-        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
-    sf_tag = "six_" + sf_dir.strip("/").replace("/", "_")
-    call = _RT_CALL_SEQ.setdefault(sf_tag, 0)
-    _RT_CALL_SEQ[sf_tag] = call + 1
-    for d in os.listdir(proc_dir):
-        if d.startswith(f"{sf_tag}_c"):
-            try:
-                older = int(d.rsplit("_c", 1)[1]) < call - 1
-            except ValueError:
-                older = False
-            if older:
-                shutil.rmtree(os.path.join(proc_dir, d), ignore_errors=True)
-    root = os.path.join(proc_dir, f"{sf_tag}_c{call}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _fresh_call_root("six", sf_dir)
     table = SnapshotTable(
         spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
     )
@@ -938,6 +793,92 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_INDEX_CACHE: dict[str, str] = {}
 _RT_CALL_SEQ: dict[str, int] = {}
+
+
+def _fresh_call_root(prefix: str, sf_dir: str) -> str:
+    """Per-(query, sf_dir, call) table root under the bench work root.
+    The returned frames are lazy, so the PREVIOUS call's tables must
+    stay readable: each call gets a content-unique subdir and only
+    siblings older than the previous call are swept (plus the shared
+    dead-pid sweep). Registers an atexit cleanup for the whole per-pid
+    dir."""
+    import atexit
+    import shutil
+
+    from aws_serverless_elt_pipeline_enterprise_spark.benchkit import (
+        sweep_stale_tables,
+        work_root,
+    )
+
+    base = work_root()
+    os.makedirs(base, exist_ok=True)
+    sweep_stale_tables(base)
+    proc_dir = os.path.join(base, f"tbl_{prefix}_{os.getpid()}")
+    if not os.path.isdir(proc_dir):
+        os.makedirs(proc_dir)
+        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
+    sf_tag = f"{prefix}_" + sf_dir.strip("/").replace("/", "_")
+    call = _RT_CALL_SEQ.setdefault(sf_tag, 0)
+    _RT_CALL_SEQ[sf_tag] = call + 1
+    for d in os.listdir(proc_dir):
+        if d.startswith(f"{sf_tag}_c"):
+            try:
+                older = int(d.rsplit("_c", 1)[1]) < call - 1
+            except ValueError:
+                older = False
+            if older:
+                shutil.rmtree(os.path.join(proc_dir, d), ignore_errors=True)
+    root = os.path.join(proc_dir, f"{sf_tag}_c{call}")
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP TIME TRAVEL under the oracle gate (Delta timestampAsOf /
+    Iceberg FOR SYSTEM_TIME AS OF; the reference keeps no history at
+    all — silver is overwrite-in-place, Instructions.md silver layout):
+    replay the event log in three epochs with an INJECTED commit clock
+    (ticks 1,2,3 -> commit timestamps 1000/2000/3000 ms), then serve
+    `state_at(2500)` — which must resolve to the second commit — as the
+    visible LWW state. The oracle recomputes that state directly over
+    the first two-thirds of the log, so hash equality proves
+    timestamp->version resolution AND the historical read are exact."""
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        SnapshotTable,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).first()[0] + 1
+    cuts = [hi // 3, 2 * hi // 3, hi]
+    chg = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+    )
+    root = _fresh_call_root("ttr", sf_dir)
+    ticks = iter([1.0, 2.0, 3.0])
+    table = SnapshotTable(
+        spark,
+        os.path.join(root, "t"),
+        key_col="doc_id",
+        n_buckets=8,
+        mode="mor",
+        clock=lambda: next(ticks),
+    )
+    lo = 0
+    for i, cut in enumerate(cuts):
+        table.merge_reduced(
+            chg.filter((F.col("seq") >= lo) & (F.col("seq") < cut)), f"tt-{i}"
+        )
+        lo = cut
+    return (
+        table.state_at(2500)
+        .select("doc_id", "value")
+        .orderBy("doc_id")
+    )
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "cdc_changes": q_cdc_changes,
+        "time_travel": q_time_travel,
         "incremental_agg": q_incremental_agg,
         "secondary_lookup": q_secondary_lookup,
         "point_lookup": q_point_lookup,
@@ -1728,6 +1670,24 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE (NOT vis1 AND vis2) OR (vis1 AND NOT vis2)
                OR (vis1 AND vis2 AND seq1 <> seq2)
+            ORDER BY doc_id
+        """,
+        # time_travel: the Spark side resolves a commit TIMESTAMP to a
+        # version (injected clock: epochs commit at 1000/2000/3000 ms,
+        # probe at 2500 -> second commit) and reads that state; the
+        # oracle recomputes the same state directly over the first
+        # two-thirds of the log
+        "time_travel": """
+            WITH cut AS (
+              SELECT (2*(max(event_id)+1))//3 AS c FROM events
+            ), s AS (
+              SELECT CAST(user_id AS VARCHAR) AS doc_id,
+                     arg_max(event_type, event_id) AS lop,
+                     arg_max(value, event_id) AS value
+              FROM events, cut WHERE event_id < c GROUP BY user_id
+            )
+            SELECT doc_id, value FROM s
+            WHERE lop <> 'error'
             ORDER BY doc_id
         """,
         # secondary_lookup: the oracle recomputes the probe DIRECTLY over

@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -295,6 +296,7 @@ class SnapshotTable:
         n_buckets: int = 32,
         mode: str = "cow",
         bucket_col: str | None = None,
+        clock=None,
     ):
         assert mode in ("cow", "mor"), mode
         self.spark = spark
@@ -302,6 +304,11 @@ class SnapshotTable:
         self.key_col = key_col
         self.n_buckets = n_buckets
         self.mode = mode
+        # commit-timestamp source (epoch seconds). Injectable so tests and
+        # deterministic fixtures control the timeline; only ever written
+        # into MANIFESTS (never into data), so data fingerprints stay
+        # clock-free.
+        self.clock = clock or time.time
         # bucket_col defaults to the key (co-locating merges and point
         # lookups). A DIFFERENT bucket_col turns the table into a
         # value-clustered layout (e.g. a secondary index bucketed by the
@@ -337,6 +344,62 @@ class SnapshotTable:
                 return int(f.read().strip().lstrip("v"))
         except FileNotFoundError:
             return None
+
+    def version_at(self, ts_ms: int) -> int | None:
+        """Timestamp time travel (Delta ``timestampAsOf`` / Iceberg
+        ``FOR SYSTEM_TIME AS OF``): the latest version whose commit
+        timestamp is <= ``ts_ms``. Commit timestamps are
+        monotone-corrected at write (a later version never carries an
+        earlier ts), so version order == timestamp order and a reverse
+        scan from the newest retained manifest stops at the first hit —
+        O(versions newer than ts), typically one or two manifest reads
+        for a recent timestamp. Returns None when ``ts_ms`` precedes the
+        table's first commit; raises when the version the timestamp
+        resolves to has been expired by ``expire_snapshots`` (the state
+        is no longer reconstructible — same contract as
+        ``read(version=)`` on an expired version)."""
+        mdir = os.path.join(self.root, "manifests")
+        try:
+            names = os.listdir(mdir)
+        except FileNotFoundError:
+            return None
+        versions = sorted(
+            int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+        )
+        if not versions:
+            return None
+        oldest = None
+        for v in reversed(versions):
+            ts = int((self.manifest(v) or {}).get("committed_at_ms", 0))
+            if ts <= ts_ms:
+                return v
+            oldest = v
+        if oldest is not None and oldest > 0:
+            raise ValueError(
+                f"timestamp {ts_ms} resolves to a version older than the "
+                f"retention horizon (oldest retained: v{oldest})"
+            )
+        return None
+
+    def state_at(self, ts_ms: int) -> DataFrame:
+        """Visible state as of a commit timestamp. Raises if the
+        timestamp precedes the first commit."""
+        v = self.version_at(ts_ms)
+        if v is None:
+            raise ValueError(f"timestamp {ts_ms} precedes the first commit")
+        return self.state(v)
+
+    def changes_between(
+        self, ts_from_ms: int, ts_to_ms: int, images: str = "post"
+    ) -> DataFrame:
+        """Change data feed between two commit TIMESTAMPS. A
+        ``ts_from_ms`` before the first commit diffs against the empty
+        table (everything is an insert)."""
+        v_from = self.version_at(ts_from_ms)
+        v_to = self.version_at(ts_to_ms)
+        if v_to is None:
+            raise ValueError(f"timestamp {ts_to_ms} precedes the first commit")
+        return self.changes(v_from, v_to, images=images)
 
     def manifest(self, version: int | None = None) -> dict | None:
         """Parsed manifest; the LATEST one is cached keyed on version.
@@ -1174,8 +1237,13 @@ class SnapshotTable:
         }
         if new_dir is not None:
             kinds[new_dir] = new_dir_kind
+        # monotone-corrected commit timestamp: a later version never
+        # carries an earlier ts even under clock skew / sub-ms commits,
+        # so version order == timestamp order and version_at() is exact
+        prev_ts = int(old_m.get("committed_at_ms", 0)) if old_m else 0
         m = {
             "version": version,
+            "committed_at_ms": max(int(self.clock() * 1000), prev_ts + 1),
             "schema": json.dumps(schema.jsonValue()),
             "n_buckets": self.n_buckets,
             "key_col": self.key_col,

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",
     "embedding_lsh_topk",
     "cdc_changes",
+    "time_travel",
     "incremental_agg",
     "secondary_lookup",
     "point_lookup",
