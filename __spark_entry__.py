@@ -833,6 +833,52 @@ def _fresh_call_root(prefix: str, sf_dir: str) -> str:
     return root
 
 
+def q_cdc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC OUTBOX under the oracle gate: replay the event log in two
+    epochs; CdfExporter publishes each epoch's change feed as an
+    atomically-renamed span directory (exactly-once via the
+    listing-as-ledger fast-forward). The returned frame reads the SECOND
+    span's parquet back off disk — so the oracle (the same two-phase LWW
+    classification as cdc_changes) verifies the bytes a downstream
+    consumer would actually tail, not just the in-memory diff."""
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.cdf_export import (
+        CdfExporter,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        SnapshotTable,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = (ev.agg(F.max("event_id")).first()[0] + 1) // 2
+    chg = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+    )
+    root = _fresh_call_root("cdx", sf_dir)
+    table = SnapshotTable(
+        spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
+    )
+    ex = CdfExporter(spark, table, os.path.join(root, "out"))
+    table.merge_reduced(chg.filter(F.col("seq") < cut), "phase-1")
+    ex.export()
+    table.merge_reduced(chg.filter(F.col("seq") >= cut), "phase-2")
+    span = ex.export()
+    return (
+        spark.read.parquet(span["span_dir"])
+        .select(
+            "doc_id",
+            "value",
+            F.col("_seq").alias("seq"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMESTAMP TIME TRAVEL under the oracle gate (Delta timestampAsOf /
     Iceberg FOR SYSTEM_TIME AS OF; the reference keeps no history at
@@ -1109,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "cdc_changes": q_cdc_changes,
+        "cdc_export": q_cdc_export,
         "time_travel": q_time_travel,
         "incremental_agg": q_incremental_agg,
         "secondary_lookup": q_secondary_lookup,
@@ -1177,6 +1224,14 @@ _LSH_SIG_SUM = (
 
 
 def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_literal()
+    # cdc_export publishes exactly the cdc_changes diff to disk and
+    # reads it back; the oracle is identical by construction
+    sql["cdc_export"] = sql["cdc_changes"]
+    return sql
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "cdc_final_state": """
             -- struct-wrapped arg_max: DuckDB's bare arg_max SKIPS rows

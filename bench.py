@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "embedding_lsh_topk",
     "cdc_changes",
     "time_travel",
+    "cdc_export",
     "incremental_agg",
     "secondary_lookup",
     "point_lookup",
