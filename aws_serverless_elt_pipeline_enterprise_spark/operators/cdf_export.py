@@ -136,6 +136,15 @@ class CdfExporter:
         changes, to_v, bootstrapped = self.source.read_changes_since(
             bookmark, images=self.images
         )
+        if bookmark is None and any(
+            d.startswith("span=") for d in os.listdir(self.dest)
+        ):
+            # bookmark lost AND the chain head expired by expire():
+            # the listing can no longer prove what was published, so
+            # re-enter via the boot contract (replace-not-patch) rather
+            # than publishing a full-state dir that looks like a
+            # regular incremental span
+            bootstrapped = True
         if to_v == bookmark:
             self._write_bookmark(to_v)  # persist a listing fast-forward
             return {
@@ -178,3 +187,32 @@ class CdfExporter:
             "rows": rows,
             "skipped": skipped,
         }
+
+    # duck-type as a maintained view so run_replay(maintain=[exporter])
+    # publishes one span per applied epoch, in lockstep with the table
+    refresh = export
+
+    def expire(self, keep_last: int) -> list[str]:
+        """Outbox retention: drop all but the newest ``keep_last`` span
+        dirs (span end version orders them — the publication order). A
+        consumer that then falls behind the remaining chain re-enters
+        via the source's bootstrap contract, exactly like a derived
+        table whose bookmark expired. The exporter's own recovery keeps
+        working: its bookmark file is the durable pointer, and if BOTH
+        the bookmark and the chain head are gone, export() re-enters
+        via a ``boot_`` publish rather than mis-signaling a full state
+        as an incremental span (tested)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+
+        def end_v(name: str) -> int:
+            return int(name.rsplit("_v", 1)[1])
+
+        spans = sorted(
+            (d for d in os.listdir(self.dest) if d.startswith("span=")),
+            key=end_v,
+        )
+        drop = spans[:-keep_last]
+        for d in drop:
+            shutil.rmtree(os.path.join(self.dest, d), ignore_errors=True)
+        return drop

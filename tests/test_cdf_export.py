@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import os
-import shutil
 
 from aws_serverless_elt_pipeline_enterprise_spark.operators.cdf_export import CdfExporter
 from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import SnapshotTable
@@ -137,3 +136,67 @@ def test_export_images_both_carries_pre_and_post(spark, tmp_path):
         for r_ in spark.read.parquet(r["span_dir"]).collect()
     )
     assert rows == [("update_postimage", 2.0), ("update_preimage", 1.0)]
+
+
+def test_run_replay_exports_spans_in_lockstep(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        run_replay,
+    )
+
+    log = str(tmp_path / "log")
+    generate_changelog(
+        spark, log, ChangelogSpec(n_events=3000, n_keys=200, n_batches=3)
+    )
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), key_col="doc_id", n_buckets=8, mode="mor"
+    )
+    ex = CdfExporter(spark, t, str(tmp_path / "out"))
+    run_replay(spark, log, t, maintain=[ex])
+    spans = _spans(ex.dest)
+    assert len(spans) == 3  # one published span per applied epoch
+    # replaying the whole outbox (LWW over every span) rebuilds the
+    # exact final state a downstream consumer would hold
+    feed = spark.read.parquet(*[str(tmp_path / "out" / s) for s in spans])
+    winner = (
+        feed.groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct("_change_type", *[c for c in feed.columns
+                                           if c not in ("doc_id", "_seq", "_change_type")]),
+                F.col("_seq"),
+            ).alias("w")
+        )
+        .filter(F.col("w._change_type") != "delete")
+    )
+    assert winner.count() == t.state().count()
+    # idempotent rerun: every epoch skips, no new spans
+    run_replay(spark, log, t, maintain=[ex])
+    assert _spans(ex.dest) == spans
+
+
+def test_expire_bounds_outbox_and_orphaned_recovery_boots(spark, tmp_path):
+    t, ex = _mk(spark, tmp_path)
+    for i in range(6):
+        t.merge_reduced(_batch(spark, [("insert", f"k{i}", i, float(i))]), f"e{i}")
+        ex.export()
+    assert len(_spans(ex.dest)) == 6
+    dropped = ex.expire(keep_last=2)
+    assert len(dropped) == 4 and len(_spans(ex.dest)) == 2
+    # normal operation continues off the durable bookmark
+    t.merge_reduced(_batch(spark, [("update", "k0", 100, 9.0)]), "e6")
+    r = ex.export()
+    assert r["rows"] == 1 and not r["bootstrapped"]
+    # bookmark lost AND chain head expired: the listing can no longer
+    # prove what was published -> re-enter via the boot contract
+    ex.expire(keep_last=1)
+    os.remove(ex._bookmark_path())
+    r2 = ex.export()
+    assert r2["bootstrapped"] is True
+    assert os.path.basename(r2["span_dir"]).startswith("span=boot_v")
+    assert spark.read.parquet(r2["span_dir"]).count() == 6  # full state
