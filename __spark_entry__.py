@@ -879,6 +879,38 @@ def q_cdc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BULK ROW-LEVEL DELETE under the oracle gate (Delta DELETE FROM /
+    the GDPR right-to-be-forgotten shape; the reference can only rewrite
+    silver wholesale): replay the event log into a SnapshotTable, then
+    delete_where(etype = 'click') — matching current-state rows become
+    tombstones in one ledger-deduped epoch. The oracle recomputes the
+    surviving state directly (LWW visible AND latest type not click), so
+    hash equality proves the predicate erased exactly the right rows and
+    nothing else."""
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        SnapshotTable,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    chg = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+        F.when(F.col("event_type") != "error", F.col("event_type")).alias("etype"),
+    )
+    root = _fresh_call_root("gde", sf_dir)
+    table = SnapshotTable(
+        spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
+    )
+    table.merge_reduced(chg, "all-events")
+    table.delete_where(F.col("etype") == "click", "erase-clicks")
+    return table.state().select("doc_id", "value", "etype").orderBy("doc_id")
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMESTAMP TIME TRAVEL under the oracle gate (Delta timestampAsOf /
     Iceberg FOR SYSTEM_TIME AS OF; the reference keeps no history at
@@ -1156,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "cdc_changes": q_cdc_changes,
         "cdc_export": q_cdc_export,
+        "gdpr_erase": q_gdpr_erase,
         "time_travel": q_time_travel,
         "incremental_agg": q_incremental_agg,
         "secondary_lookup": q_secondary_lookup,
@@ -1725,6 +1758,20 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM j
             WHERE (NOT vis1 AND vis2) OR (vis1 AND NOT vis2)
                OR (vis1 AND vis2 AND seq1 <> seq2)
+            ORDER BY doc_id
+        """,
+        # gdpr_erase: the oracle recomputes the post-erasure state
+        # directly — LWW-visible rows whose LATEST type is not the
+        # erased predicate's value
+        "gdpr_erase": """
+            WITH s AS (
+              SELECT CAST(user_id AS VARCHAR) AS doc_id,
+                     arg_max(event_type, event_id) AS lop,
+                     arg_max(value, event_id) AS value
+              FROM events GROUP BY user_id
+            )
+            SELECT doc_id, value, lop AS etype FROM s
+            WHERE lop <> 'error' AND lop <> 'click'
             ORDER BY doc_id
         """,
         # time_travel: the Spark side resolves a commit TIMESTAMP to a

@@ -49,7 +49,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -841,6 +841,63 @@ class SnapshotTable:
             .filter(~F.coalesce(F.col(self.DEL_COL), F.lit(False)))
             .drop(self.SEQ_COL, self.DEL_COL, self.BUCKET_COL)
         )
+
+    def _next_seq(self) -> int:
+        """One seq above every stored row's (raw scan — max over
+        unresolved deltas equals max over resolved state)."""
+        hi = self.read(resolve=False).agg(F.max(self.SEQ_COL)).first()[0]
+        return (hi if hi is not None else 0) + 1
+
+    def delete_where(self, condition, epoch_id: str) -> dict:
+        """Bulk row-level DELETE (Delta ``DELETE FROM t WHERE ...``; the
+        GDPR right-to-be-forgotten shape — the reference has no
+        row-level path, erasure there means rewriting silver wholesale).
+        Matching CURRENT-state rows become tombstones in ONE
+        ledger-deduped epoch at a seq above every stored one, so the
+        operation is idempotent under replay, the CDF reports the rows
+        as deletes, and every CDF consumer (maintained aggregates,
+        secondary indexes, the outbox) retracts them incrementally. Time
+        travel keeps pre-erasure versions readable until they expire:
+        the full compliance sequence is ``delete_where`` +
+        ``expire_snapshots`` + ``compact(purge_tombstones_below_seq=)``.
+        Cost: one state scan (the predicate pushes into it) + a merge of
+        O(matches) rows."""
+        epoch_id = str(epoch_id)
+        if self.has_epoch(epoch_id):
+            return {"epoch_id": epoch_id, "skipped": True}
+        seq = self._next_seq()
+        rows = (
+            self.state()
+            .filter(condition)
+            .withColumn("op", F.lit("delete"))
+            .withColumn("seq", F.lit(seq).cast("long"))
+        )
+        return self.merge_reduced(rows, epoch_id)
+
+    def update_where(self, condition, assignments: dict, epoch_id: str) -> dict:
+        """Bulk row-level UPDATE (Delta ``UPDATE t SET ... WHERE ...``):
+        matching CURRENT-state rows are re-emitted with the assignments
+        applied (values or Column expressions over the old row) as ONE
+        ledger-deduped epoch at a fresh seq — replace-not-patch, same
+        LWW semantics as any other update. The key/bucket columns cannot
+        be assigned (an identity change is a delete + insert, not an
+        update — silently rewriting the key would orphan the stored
+        row's bucket)."""
+        epoch_id = str(epoch_id)
+        if self.has_epoch(epoch_id):
+            return {"epoch_id": epoch_id, "skipped": True}
+        bad = set(assignments) & {self.key_col, self.bucket_col}
+        if bad:
+            raise ValueError(f"cannot assign key/bucket columns: {sorted(bad)}")
+        seq = self._next_seq()
+        rows = self.state().filter(condition)
+        for name, value in assignments.items():
+            col = value if isinstance(value, Column) else F.lit(value)
+            rows = rows.withColumn(name, col)
+        rows = rows.withColumn("op", F.lit("update")).withColumn(
+            "seq", F.lit(seq).cast("long")
+        )
+        return self.merge_reduced(rows, epoch_id)
 
     def lookup(self, keys: list[str], version: int | None = None) -> DataFrame:
         """Point lookups via bucket pruning: only the hash buckets of the

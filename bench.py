@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "cdc_changes",
     "time_travel",
     "cdc_export",
+    "gdpr_erase",
     "incremental_agg",
     "secondary_lookup",
     "point_lookup",
