@@ -874,6 +874,40 @@ class SnapshotTable:
         )
         return self.merge_reduced(rows, epoch_id)
 
+    def delete_keys(self, keys: list, epoch_id: str) -> dict:
+        """Right-to-be-forgotten by KEY — the common GDPR request shape
+        ("erase user X"): like ``delete_where(key IN ...)`` but
+        BUCKET-PRUNED, reading only the probed keys' hash buckets
+        (O(|keys| buckets out of n_buckets), never a full table scan;
+        files-read-asserted in tests). The tombstone seq is one above
+        the probed rows' max — sufficient, because the tombstone only
+        has to outrank STORED rows; a genuinely later event for the key
+        rightfully starts a new life for it (same semantics as
+        ``delete_where``). Value-clustered tables (bucket_col !=
+        key_col) fall back to the full scan, like ``lookup``."""
+        epoch_id = str(epoch_id)
+        if self.has_epoch(epoch_id):
+            return {"epoch_id": epoch_id, "skipped": True}
+        buckets = (
+            self.buckets_for(keys) if self.bucket_col == self.key_col else None
+        )
+        live = (
+            self.read(buckets=buckets)
+            .filter(F.col(self.key_col).isin(*keys))
+            .filter(~F.coalesce(F.col(self.DEL_COL), F.lit(False)))
+            .persist()  # feeds two actions: the seq probe and the merge
+        )
+        try:
+            hi = live.agg(F.max(self.SEQ_COL)).first()[0]
+            rows = (
+                live.drop(self.SEQ_COL, self.DEL_COL, self.BUCKET_COL)
+                .withColumn("op", F.lit("delete"))
+                .withColumn("seq", F.lit((hi or 0) + 1).cast("long"))
+            )
+            return self.merge_reduced(rows, epoch_id)
+        finally:
+            live.unpersist()
+
     def update_where(self, condition, assignments: dict, epoch_id: str) -> dict:
         """Bulk row-level UPDATE (Delta ``UPDATE t SET ... WHERE ...``):
         matching CURRENT-state rows are re-emitted with the assignments

@@ -100,3 +100,46 @@ def test_row_level_ops_flow_through_cdf_consumers(spark, tmp_path):
     ma.refresh()  # O(epoch) retraction, not a rebuild
     after = {r["cat"]: r["cnt"] for r in ma.result().collect()}
     assert after == {"blue": 20}
+
+
+def test_delete_keys_is_bucket_pruned(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), key_col="doc_id", n_buckets=16, mode="mor"
+    )
+    t.merge_reduced(
+        _batch(
+            spark,
+            [("insert", f"k{i}", i, float(i), "blue") for i in range(400)],
+        ),
+        "e0",
+    )
+    t.compact()  # all data in bucket files, no global deltas
+    targets = ["k7", "k8"]
+    bs = t.buckets_for(targets)
+    # the probe reads only the targets' buckets (files-read assertion)
+    probe = (
+        t.read(buckets=bs)
+        .filter(F.col("doc_id").isin(*targets))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    )
+    files_read = {r[0] for r in probe}
+    all_files = {
+        r[0]
+        for r in t.read().select(F.input_file_name()).distinct().collect()
+    }
+    assert files_read and len(files_read) < len(all_files)
+    r = t.delete_keys(targets, "erase-k7k8")
+    assert not r.get("skipped")
+    assert t.state().filter(F.col("doc_id").isin(*targets)).count() == 0
+    assert t.state().count() == 398
+    # idempotent; and a late lower-seq event stays dead
+    assert t.delete_keys(targets, "erase-k7k8")["skipped"]
+    t.merge_reduced(_batch(spark, [("update", "k7", 3, 9.9, "red")]), "late")
+    assert t.state().filter(F.col("doc_id") == "k7").count() == 0
+    # a genuinely LATER event rightfully re-creates the key
+    t.merge_reduced(
+        _batch(spark, [("insert", "k7", 10_000, 1.0, "red")]), "rebirth"
+    )
+    assert t.state().filter(F.col("doc_id") == "k7").count() == 1
