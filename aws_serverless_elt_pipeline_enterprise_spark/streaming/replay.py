@@ -613,6 +613,7 @@ def run_replay_streaming(
     quarantine_dir: str | None = None,
     dq_fail_on_corrupt: bool = False,
     notify=None,
+    maintain=None,
 ) -> None:
     """Structured Streaming replay: file source over the whole log dir,
     availableNow trigger (process-everything-then-stop), watermarked
@@ -644,6 +645,7 @@ def run_replay_streaming(
         merge = _make_merge(
             table, instance, quarantine_dir, dq_fail_on_corrupt, notify,
             pre_merge_check=_make_schema_guard(current_log_schema, schema, evolved),
+            maintain=maintain,
         )
         q = (
             deduped.writeStream.foreachBatch(merge)
@@ -657,6 +659,12 @@ def run_replay_streaming(
             if not evolved["v"]:
                 raise
         if not evolved["v"]:
+            # catch-up for a view attached after the table had history,
+            # or a resume where no micro-batch fired (no new files) —
+            # refreshes are exactly-once on the view's own ledger
+            if maintain and table.current_version() is not None:
+                for view in maintain:
+                    view.refresh()
             return  # processed everything available under a stable schema
 
 
@@ -667,6 +675,7 @@ def _make_merge(
     dq_fail_on_corrupt: bool,
     notify,
     pre_merge_check=None,
+    maintain=None,
 ):
     """foreachBatch body shared by the availableNow replay and the
     continuous tail: derive the namespaced epoch id, then run the ONE
@@ -689,6 +698,11 @@ def _make_merge(
             dq_fail_on_corrupt=dq_fail_on_corrupt,
             notify=notify,
         )
+        # maintained views ride the micro-batch in lockstep; each
+        # refresh is exactly-once on the view's own span ledger, so a
+        # foreachBatch crash-replay cannot double-apply a delta
+        for view in maintain or ():
+            view.refresh()
 
     return _merge
 
@@ -710,6 +724,7 @@ def run_replay_tailing(
     notify=None,
     poll_interval_sec: float = 1.0,
     stop_when=None,
+    maintain=None,
 ) -> None:
     """Genuinely CONTINUOUS tail (processingTime trigger) with mid-stream
     additive schema evolution — the gap ``run_replay_streaming`` leaves:
@@ -754,6 +769,7 @@ def run_replay_tailing(
         merge = _make_merge(
             table, instance, quarantine_dir, dq_fail_on_corrupt, notify,
             pre_merge_check=_make_schema_guard(current_log_schema, schema, evolved),
+            maintain=maintain,
         )
         q = (
             deduped.writeStream.foreachBatch(merge)

@@ -200,3 +200,54 @@ def test_expire_bounds_outbox_and_orphaned_recovery_boots(spark, tmp_path):
     assert r2["bootstrapped"] is True
     assert os.path.basename(r2["span_dir"]).startswith("span=boot_v")
     assert spark.read.parquet(r2["span_dir"]).count() == 6  # full state
+
+
+def test_streaming_replay_maintains_views_and_outbox(spark, tmp_path):
+    """run_replay_streaming(maintain=[...]): views and the outbox ride
+    each micro-batch; a resumed run with no new files still catches up
+    a late-attached view via the end-of-pass refresh."""
+    from pyspark.sql import functions as F
+
+    from aws_serverless_elt_pipeline_enterprise_spark.operators.incremental_agg import (
+        MaterializedAggregate,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        run_replay_streaming,
+    )
+
+    log = str(tmp_path / "log")
+    generate_changelog(
+        spark, log, ChangelogSpec(n_events=3000, n_keys=200, n_batches=3)
+    )
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), key_col="doc_id", n_buckets=8, mode="mor"
+    )
+    ma = MaterializedAggregate(spark, t, str(tmp_path / "mv"), ["source"])
+    ex = CdfExporter(spark, t, str(tmp_path / "out"))
+    run_replay_streaming(
+        spark, log, t, checkpoint_dir=str(tmp_path / "ck"), maintain=[ma, ex]
+    )
+    expect = {
+        r["source"]: r["cnt"]
+        for r in t.state().groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert {r["source"]: r["cnt"] for r in ma.result().collect()} == expect
+    assert len(_spans(ex.dest)) >= 1  # outbox published
+    # the outbox alone rebuilds the table's row count
+    feed = spark.read.parquet(*[str(tmp_path / "out" / s) for s in _spans(ex.dest)])
+    alive = (
+        feed.groupBy("doc_id")
+        .agg(F.max_by("_change_type", "_seq").alias("ct"))
+        .filter(F.col("ct") != "delete")
+    )
+    assert alive.count() == t.state().count()
+    # resume with NO new files + a late-attached view: catch-up pass
+    ma2 = MaterializedAggregate(spark, t, str(tmp_path / "mv2"), ["source"])
+    run_replay_streaming(
+        spark, log, t, checkpoint_dir=str(tmp_path / "ck"), maintain=[ma2]
+    )
+    assert {r["source"]: r["cnt"] for r in ma2.result().collect()} == expect
