@@ -505,6 +505,35 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pack_bucket", "pack_id")
 
 
+def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window CHUNKING of tokenized docs (max_len=64, stride=48,
+    overlapping) — the complement of pack_sequences: long docs are sliced
+    into fixed-window training chunks in one map-only JVM stage
+    (sequence/posexplode/slice, zero shuffles, zero UDFs). FULLY
+    oracle-checked: tokenization (portable md5-derived 60-bit hash mod
+    vocab), chunk boundaries (start = chunk_id*stride), and each chunk's
+    exact token CONTENT (order-sensitive md5 of the comma-joined
+    tokens — the raw array<int> is projected to that hash because the
+    driver canonicalizer cannot sort/hash list cells)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            tx.words("text"),
+            lambda w: F.pmod(dd.portable_hash60(w), F.lit(50257)).cast("int"),
+        ).alias("tokens"),
+    )
+    ch = tk.chunk_sequences(toks, max_len=64, stride=48)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.md5(
+            F.array_join(F.transform("tokens", lambda t: t.cast("string")), ",")
+        ).alias("tokens_hash"),
+        "n_tok",
+    ).orderBy("doc_id", "chunk_id")
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components (min-label
     propagation) over the n-gram-Jaccard pair graph — the step that turns
@@ -1181,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "pack_sequences": q_pack_sequences,
+        "chunk_sequences": q_chunk_sequences,
         "dup_clusters": q_dup_clusters,
         "mask_terms": q_mask_terms,
         "token_histogram": q_token_histogram,
@@ -2094,6 +2124,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             GROUP BY w.pack_bucket, w.pack_id
             HAVING sum(w.l) > 0
             ORDER BY w.pack_bucket, w.pack_id
+        """,
+        "chunk_sequences": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(trim(text), '[ \t\n\r]+'), t0 -> t0 <> ''),
+                       w -> CAST(CAST(concat('0x', substr(md5(w),1,15))
+                                      AS BIGINT) % 50257 AS INTEGER))
+                       AS tokens
+              FROM documents
+              WHERE text IS NOT NULL
+            ), g AS (
+              SELECT doc_id, tokens, len(tokens) AS n,
+                     unnest(generate_series(0, len(tokens)-1, 48)) AS i
+              FROM toks WHERE len(tokens) > 0
+            )
+            SELECT doc_id,
+                   CAST(i / 48 AS INTEGER) AS chunk_id,
+                   md5(array_to_string(tokens[i+1 : least(n, i+64)], ','))
+                       AS tokens_hash,
+                   CAST(least(n, i+64) - i AS INTEGER) AS n_tok
+            FROM g
+            ORDER BY doc_id, chunk_id
         """,
     }
 

@@ -175,3 +175,49 @@ def pack_sequences(
         bucket_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     bucketed = df.withColumn("pack_bucket", bucket_expr)
     return bucketed.groupBy("pack_bucket").applyInPandas(pack, schema=out_schema)
+
+
+def chunk_sequences(
+    df,
+    max_len: int,
+    stride: int | None = None,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+):
+    """Split over-long token arrays into fixed-length training chunks —
+    the complement of :func:`pack_sequences` (packing concatenates short
+    docs; chunking slices long ones). Chunk ``c`` starts at offset
+    ``c * stride`` and takes up to ``max_len`` tokens; ``stride <
+    max_len`` yields overlapping (sliding-window) chunks for context
+    continuity, ``stride == max_len`` (the default) a disjoint cover.
+
+    Entirely JVM-side (``sequence`` → ``posexplode`` → ``slice``, no
+    UDF, no shuffle): a map-only stage emitting ~``n_tok/stride`` rows
+    per doc, so at 10^10 rows the cost is exactly the scan plus the
+    fan-out — partitioning of the input is preserved. The reference's
+    transform step can only truncate payloads wholesale
+    (lambdas/transform/app.py:63-76); this is the training-data-native
+    windowed version.
+    """
+    step = int(stride) if stride is not None else int(max_len)
+    if step <= 0 or max_len <= 0:
+        raise ValueError("max_len and stride must be positive")
+    n = F.size(F.col(tokens_col))
+    return (
+        df.filter(n > 0)
+        .select(
+            key,
+            F.posexplode(
+                F.sequence(F.lit(0), n - F.lit(1), F.lit(step))
+            ).alias("chunk_id", "chunk_start"),
+            tokens_col,
+        )
+        .select(
+            key,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.slice(
+                F.col(tokens_col), F.col("chunk_start") + F.lit(1), F.lit(max_len)
+            ).alias(tokens_col),
+        )
+        .withColumn("n_tok", F.size(F.col(tokens_col)).cast("int"))
+    )

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "pack_sequences",
+    "chunk_sequences",
     "ngram_jaccard",
     "dup_clusters",
     "mask_terms",

@@ -193,3 +193,37 @@ def test_token_array_hash_equality_invariant(spark):
     h = df.select("doc_id", tk.token_array_hash("tokens").alias("h")).collect()
     hs = {r.doc_id: r.h for r in h}
     assert hs["a"] == hs["b"] != hs["c"]
+
+
+def test_chunk_sequences_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", list(range(10))), ("b", [7]), ("c", []), ("d", None)],
+        "doc_id string, tokens array<int>",
+    )
+    # disjoint cover (default stride = max_len)
+    rows = {
+        (r.doc_id, r.chunk_id): (list(r.tokens), r.n_tok)
+        for r in tk.chunk_sequences(df, max_len=4).collect()
+    }
+    assert rows == {
+        ("a", 0): ([0, 1, 2, 3], 4),
+        ("a", 1): ([4, 5, 6, 7], 4),
+        ("a", 2): ([8, 9], 2),
+        ("b", 0): ([7], 1),
+    }  # empty/null docs dropped; disjoint chunks conserve tokens
+    # sliding window: stride < max_len overlaps, every window starts at
+    # chunk_id*stride and the full array is covered
+    s = tk.chunk_sequences(df, max_len=4, stride=2).collect()
+    a = sorted((r.chunk_id, tuple(r.tokens)) for r in s if r.doc_id == "a")
+    assert a == [
+        (0, (0, 1, 2, 3)),
+        (1, (2, 3, 4, 5)),
+        (2, (4, 5, 6, 7)),
+        (3, (6, 7, 8, 9)),
+        (4, (8, 9)),
+    ]
+    # map-only: no exchange anywhere in the plan
+    plan = tk.chunk_sequences(df, max_len=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        tk.chunk_sequences(df, max_len=0)
