@@ -252,6 +252,7 @@ def run_replay(
     dq_fail_on_corrupt: bool = False,
     notify=None,
     maintain=None,
+    maintain_every: int = 1,
 ) -> ReplayResult:
     """Batch replay over epoch dirs (ordered). Resumable from any point:
     the committed-epoch set in the table manifest is the checkpoint; the
@@ -263,9 +264,13 @@ def run_replay(
     ``maintain``: optional list of incrementally maintained views
     (``MaterializedAggregate``-shaped: anything with ``refresh()``)
     kept in lockstep with the table — each is refreshed after every
-    applied epoch (O(epoch) via the change feed) and once more at the
-    end, so views created or re-attached mid-history catch up even on
-    a run where every epoch skips. View refreshes are themselves
+    ``maintain_every``-th applied epoch (refreshes are span-based on
+    the view's own bookmark, so a K>1 cadence folds K epochs into ONE
+    change-feed diff — the diff's fixed cost, two bucket-pruned state
+    resolves of the touched keys, is paid once per span instead of
+    once per epoch) and once more at the end, so views created or
+    re-attached mid-history catch up even on a run where every epoch
+    skips. View refreshes are themselves
     exactly-once (ledger-deduped epochs keyed on the consumed version
     span), so a crash-and-rerun never double-applies a delta."""
     from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
@@ -297,8 +302,9 @@ def run_replay(
             result.lineage.append(lineage)
         if compact_every is not None:
             table.maybe_compact(max_deltas=compact_every)
-        for view in maintain or ():
-            view.refresh()
+        if maintain and len(result.epochs_applied) % max(1, maintain_every) == 0:
+            for view in maintain:
+                view.refresh()
         # commit-then-checkpoint: table state is authoritative; the file is
         # written only after the table owns the epoch
         if ckpt_file:
@@ -614,6 +620,7 @@ def run_replay_streaming(
     dq_fail_on_corrupt: bool = False,
     notify=None,
     maintain=None,
+    maintain_every: int = 1,
 ) -> None:
     """Structured Streaming replay: file source over the whole log dir,
     availableNow trigger (process-everything-then-stop), watermarked
@@ -646,6 +653,7 @@ def run_replay_streaming(
             table, instance, quarantine_dir, dq_fail_on_corrupt, notify,
             pre_merge_check=_make_schema_guard(current_log_schema, schema, evolved),
             maintain=maintain,
+            maintain_every=maintain_every,
         )
         q = (
             deduped.writeStream.foreachBatch(merge)
@@ -676,6 +684,7 @@ def _make_merge(
     notify,
     pre_merge_check=None,
     maintain=None,
+    maintain_every: int = 1,
 ):
     """foreachBatch body shared by the availableNow replay and the
     continuous tail: derive the namespaced epoch id, then run the ONE
@@ -685,7 +694,12 @@ def _make_merge(
     the batch path; delegation makes that divergence structurally
     impossible. ``pre_merge_check`` (tail only) runs FIRST and may raise
     to fail the micro-batch before anything commits — the
-    schema-evolution guard."""
+    schema-evolution guard. ``maintain_every`` thins view refreshes to
+    every K-th micro-batch (span-based bookmarks make the skipped
+    batches fold into the next refresh; the availableNow path's
+    end-of-pass catch-up closes the tail, the continuous tail lags at
+    most K-1 batches)."""
+    applied = {"n": 0}
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         if pre_merge_check is not None:
@@ -701,8 +715,10 @@ def _make_merge(
         # maintained views ride the micro-batch in lockstep; each
         # refresh is exactly-once on the view's own span ledger, so a
         # foreachBatch crash-replay cannot double-apply a delta
-        for view in maintain or ():
-            view.refresh()
+        applied["n"] += 1
+        if maintain and applied["n"] % max(1, maintain_every) == 0:
+            for view in maintain:
+                view.refresh()
 
     return _merge
 
@@ -725,6 +741,7 @@ def run_replay_tailing(
     poll_interval_sec: float = 1.0,
     stop_when=None,
     maintain=None,
+    maintain_every: int = 1,
 ) -> None:
     """Genuinely CONTINUOUS tail (processingTime trigger) with mid-stream
     additive schema evolution — the gap ``run_replay_streaming`` leaves:
@@ -770,6 +787,7 @@ def run_replay_tailing(
             table, instance, quarantine_dir, dq_fail_on_corrupt, notify,
             pre_merge_check=_make_schema_guard(current_log_schema, schema, evolved),
             maintain=maintain,
+            maintain_every=maintain_every,
         )
         q = (
             deduped.writeStream.foreachBatch(merge)

@@ -340,3 +340,38 @@ def test_run_replay_maintains_views_in_lockstep(spark, tmp_path):
     assert {r["source"]: r["cnt"] for r in ma2.result().collect()} == {
         s: c for s, (c, _) in expect.items()
     }
+
+
+def test_run_replay_maintain_every_cadence(spark, tmp_path):
+    """maintain_every=K folds K epochs into one span refresh: fewer view
+    commits, identical final state (bookmarks are span-based)."""
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        run_replay,
+    )
+
+    log = str(tmp_path / "log")
+    generate_changelog(
+        spark, log, ChangelogSpec(n_events=6000, n_keys=400, n_batches=6)
+    )
+
+    def run(k: int, tag: str):
+        t = SnapshotTable(
+            spark, str(tmp_path / f"tbl{tag}"), key_col="doc_id",
+            n_buckets=8, mode="mor",
+        )
+        ma = MaterializedAggregate(spark, t, str(tmp_path / f"mv{tag}"), ["source"])
+        run_replay(spark, log, t, maintain=[ma], maintain_every=k)
+        return t, ma
+
+    t1, m1 = run(1, "a")
+    t3, m3 = run(3, "b")
+    want = {r["source"]: r["cnt"] for r in t1.state().groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+    assert {r["source"]: r["cnt"] for r in m1.result().collect()} == want
+    assert {r["source"]: r["cnt"] for r in m3.result().collect()} == want
+    # K=3 over 6 epochs: 2 in-loop refreshes + final no-op catch-up;
+    # K=1: 6 in-loop refreshes. The agg table's version count shows it.
+    assert m3.agg.current_version() < m1.agg.current_version()
