@@ -940,6 +940,47 @@ def q_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.state().select("doc_id", "value", "etype").orderBy("doc_id")
 
 
+def q_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten BY KEY under the oracle gate: replay the
+    event log, then delete_keys(every user_id divisible by 7) — the
+    common GDPR request shape. Unlike delete_where (predicate scan),
+    the key-list path reads ONLY the probed keys' hash buckets
+    (bucket-pruned; files-read-asserted in tests/test_row_level_ops.py).
+    The oracle recomputes the surviving LWW state directly (visible AND
+    uid % 7 != 0), so hash equality proves the erasure hit exactly the
+    requested keys and nothing else."""
+    from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+        SnapshotTable,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    chg = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+        F.when(F.col("event_type") != "error", F.col("event_type")).alias("etype"),
+    )
+    root = _fresh_call_root("dk", sf_dir)
+    table = SnapshotTable(
+        spark, os.path.join(root, "t"), key_col="doc_id", n_buckets=8, mode="mor"
+    )
+    table.merge_reduced(chg, "all-events")
+    # the request list: deterministic, bounded (|users|/7), driver-side —
+    # exactly how an RTBF queue hands over keys
+    keys = [
+        r[0]
+        for r in ev.select(F.col("user_id").cast("string"))
+        .filter(F.pmod(F.col("user_id"), F.lit(7)) == 0)
+        .distinct()
+        .collect()
+    ]
+    table.delete_keys(keys, "rtbf-batch")
+    return table.state().select("doc_id", "value", "etype").orderBy("doc_id")
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMESTAMP TIME TRAVEL under the oracle gate (Delta timestampAsOf /
     Iceberg FOR SYSTEM_TIME AS OF; the reference keeps no history at
@@ -1219,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes": q_cdc_changes,
         "cdc_export": q_cdc_export,
         "gdpr_erase": q_gdpr_erase,
+        "delete_keys": q_delete_keys,
         "time_travel": q_time_travel,
         "incremental_agg": q_incremental_agg,
         "secondary_lookup": q_secondary_lookup,
@@ -1802,6 +1844,18 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT doc_id, value, lop AS etype FROM s
             WHERE lop <> 'error' AND lop <> 'click'
+            ORDER BY doc_id
+        """,
+        "delete_keys": """
+            WITH s AS (
+              SELECT CAST(user_id AS VARCHAR) AS doc_id,
+                     user_id AS uid,
+                     arg_max(event_type, event_id) AS lop,
+                     arg_max(value, event_id) AS value
+              FROM events GROUP BY user_id
+            )
+            SELECT doc_id, value, lop AS etype FROM s
+            WHERE lop <> 'error' AND uid % 7 <> 0
             ORDER BY doc_id
         """,
         # time_travel: the Spark side resolves a commit TIMESTAMP to a

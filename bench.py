@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "time_travel",
     "cdc_export",
     "gdpr_erase",
+    "delete_keys",
     "incremental_agg",
     "secondary_lookup",
     "point_lookup",
