@@ -5,9 +5,22 @@ as a *bucketed copy-on-write snapshot table* with the same externally
 visible semantics Iceberg would give us:
 
   * atomic commits          — a version manifest (JSON) names the exact
-                              files of the snapshot; a LATEST pointer is
-                              swapped via atomic rename. Readers never see
-                              a partial commit.
+                              files of the snapshot; the manifest file
+                              itself is CLAIMED exclusively (hard-link
+                              create, fails if the version exists — the
+                              local-FS analogue of an object store's
+                              conditional PUT / Iceberg's catalog CAS),
+                              then a LATEST pointer is swapped via atomic
+                              rename. Readers never see a partial commit.
+  * optimistic concurrency  — two writers racing for the same version:
+                              exactly one wins the claim; the loser gets
+                              ``CommitConflictError`` and the merge paths
+                              rebase-and-retry (MOR deltas always rebase;
+                              COW rebases only when the intervening
+                              commits did not touch its read set,
+                              otherwise the conflict propagates and the
+                              caller re-runs the merge against fresh
+                              state — Iceberg's validation semantics).
   * epoch-idempotent commit — each manifest carries the cumulative set of
                               committed epoch IDs; re-merging an already
                               committed epoch is a no-op. This translates
@@ -52,6 +65,19 @@ import uuid
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+class CommitConflictError(Exception):
+    """Another writer claimed this manifest version first.
+
+    Raised by ``_commit_manifest`` when the exclusive version-file claim
+    fails. MOR appends catch it and rebase automatically (a global delta
+    is position-independent); COW merges rebase only when the conflicting
+    commits did not change their read set, otherwise the error propagates
+    with the epoch UNCOMMITTED — the data dir is an unreferenced orphan
+    (vacuumable by ``expire_orphans``) and re-running the merge against
+    fresh state is safe and converges.
+    """
+
 
 class EpochLedger:
     """Compact EXACT set of committed epoch IDs.
@@ -339,11 +365,23 @@ class SnapshotTable:
         return os.path.join(self.root, "LATEST")
 
     def current_version(self) -> int | None:
+        """Latest committed version. The LATEST pointer is a HINT: the
+        manifest claim (``_commit_manifest``'s exclusive link) is the
+        real commit point, and a writer can crash — or lose a benign
+        pointer race — between claiming v(N+1) and advancing LATEST.
+        Claims are serialized by version (claiming v(N+1) requires having
+        observed vN), so the manifest chain is contiguous: probing
+        FORWARD from the hint self-heals any lag at one extra stat per
+        call in the common case (the probe misses immediately)."""
         try:
             with open(self._latest_path()) as f:
-                return int(f.read().strip().lstrip("v"))
+                v = int(f.read().strip().lstrip("v"))
         except FileNotFoundError:
-            return None
+            v = -1
+        mdir = os.path.join(self.root, "manifests")
+        while os.path.exists(os.path.join(mdir, f"v{v + 1:06d}.json")):
+            v += 1
+        return v if v >= 0 else None
 
     def version_at(self, ts_ms: int) -> int | None:
         """Timestamp time travel (Delta ``timestampAsOf`` / Iceberg
@@ -441,7 +479,7 @@ class SnapshotTable:
     def lineage(self) -> list[dict]:
         """Per-commit lineage rows across all versions (metrics surface).
         Only canonical ``v*.json`` names are read: a crash between
-        _commit_manifest's tmp write and os.replace leaves a
+        _commit_manifest's tmp write and its exclusive link leaves a
         ``v*.json.tmp*`` orphan that must not brick the metrics surface
         (or double-count a version if it was fully written)."""
         out = []
@@ -1065,26 +1103,36 @@ class SnapshotTable:
         else:
             affected = sorted(int(b) for b in affected)
         if affected is not None and not affected:
-            # empty COW batch: commit the epoch id only (no data)
-            old_m = self.manifest()
-            lineage = {
-                "epoch_id": epoch_id,
-                "version": (self.current_version() or 0) + 1 if old_m else 0,
-                "affected_buckets": [],
-                "written_buckets": [],
-                "keys_considered": 0,
-                "keys_deleted": 0,
-            }
-            ledger = self.committed_epochs()
-            ledger.add(epoch_id)
-            self._commit_manifest(
-                lineage["version"],
-                schema if old_schema is None else old_schema,
-                dict(old_m["buckets"]) if old_m else {},
-                ledger,
-                lineage,
+            # empty COW batch: commit the epoch id only (no data); rebase
+            # freely on a lost version race — there is no read set
+            for _ in range(16):
+                ledger = self.committed_epochs()
+                if epoch_id in ledger:
+                    return {"epoch_id": epoch_id, "skipped": True}
+                ledger.add(epoch_id)
+                old_m = self.manifest()
+                lineage = {
+                    "epoch_id": epoch_id,
+                    "version": (self.current_version() or 0) + 1 if old_m else 0,
+                    "affected_buckets": [],
+                    "written_buckets": [],
+                    "keys_considered": 0,
+                    "keys_deleted": 0,
+                }
+                try:
+                    self._commit_manifest(
+                        lineage["version"],
+                        schema if old_schema is None else old_schema,
+                        dict(old_m["buckets"]) if old_m else {},
+                        ledger,
+                        lineage,
+                    )
+                    return lineage
+                except CommitConflictError:
+                    continue
+            raise CommitConflictError(
+                f"epoch {epoch_id!r}: lost the version race 16 times in a row"
             )
-            return lineage
 
         # Unified arms: (payload..., __seq, __bucket, __op, __side).
         # __side breaks exact-seq ties in favor of the incoming batch, which
@@ -1110,8 +1158,15 @@ class SnapshotTable:
                 b_arm, schema, epoch_id, pre_commit=pre_commit
             )
         # COW merges against the current target rows of the affected
-        # buckets; the resulting commit REPLACES those buckets.
-        target = self.read(buckets=affected)
+        # buckets; the resulting commit REPLACES those buckets. The read
+        # is PINNED to the manifest observed here: this read set (the
+        # affected buckets' dir lists + the global delta chain) is what
+        # the commit loop below validates against the then-current
+        # manifest to decide whether a lost version race is rebaseable.
+        read_m = self.manifest()
+        target = self.read(
+            version=read_m["version"] if read_m else None, buckets=affected
+        )
         t_arm = conform(
             target.withColumnRenamed(self.SEQ_COL, "__seq")
             .withColumnRenamed(self.BUCKET_COL, "__bucket")
@@ -1173,9 +1228,13 @@ class SnapshotTable:
             self.DEL_COL, F.col("__op") == "delete"
         ).drop("__op")
 
-        version = (self.current_version() or 0) + 1 if self.manifest() else 0
+        version = (read_m["version"] + 1) if read_m else 0
         tag = "".join(ch for ch in epoch_id if ch.isalnum())[-24:] or "e"
-        commit_rel = os.path.join("commits", f"c_{version:06d}_{tag}")
+        # attempt-unique dir (see _merge_mor_append): concurrent writers
+        # never share a data directory; losers leave vacuumable orphans
+        commit_rel = os.path.join(
+            "commits", f"c_{version:06d}_{tag}_{uuid.uuid4().hex[:6]}"
+        )
         commit_abs = os.path.join(self.root, commit_rel)
         n_out = len(affected) if affected else self.n_buckets
         (
@@ -1197,32 +1256,74 @@ class SnapshotTable:
                 written_buckets.add(int(d.split("=", 1)[1]))
 
         # only COW reaches this point (MOR returned via _merge_mor_append)
-        old_m = self.manifest()
-        buckets_map = {k: list(v) for k, v in old_m["buckets"].items()} if old_m else {}
-        for b in affected:
-            buckets_map.pop(str(b), None)
-        for b in written_buckets:
-            buckets_map[str(b)] = [commit_rel]
-
-        lineage = {
-            "epoch_id": epoch_id,
-            "version": version,
-            "mode": self.mode,
-            "affected_buckets": affected if affected is not None else sorted(written_buckets),
-            "written_buckets": sorted(written_buckets),
-            "keys_considered": metrics_row["keys_considered"] if metrics_row else None,
-            "keys_deleted": metrics_row["keys_deleted"] if metrics_row else None,
-            # JSON string: lineage() rows stay flat enough for
-            # spark.createDataFrame (nested variant maps break inference)
-            "partition_rows": json.dumps(_partition_rows(commit_abs)),
+        partition_rows = json.dumps(_partition_rows(commit_abs))
+        # commit with validate-or-rebase: a COW rewrite baked the READ SET
+        # (the affected buckets as of read_m + the then-current delta
+        # chain) into its data files. Losing the version race is
+        # rebaseable ONLY if the winners did not change that read set —
+        # same buckets' dir lists, same global deltas, same bucket count.
+        # Otherwise the rewrite is stale: raise with the epoch
+        # UNCOMMITTED (the data dir is a vacuumable orphan) and let the
+        # caller re-run the merge against fresh state.
+        read_gd = list(read_m.get("global_deltas", [])) if read_m else []
+        read_bk = {
+            str(b): (read_m["buckets"].get(str(b)) if read_m else None)
+            for b in affected
         }
-        committed = self.committed_epochs()
-        committed.add(epoch_id)
-        self._commit_manifest(
-            version, schema, buckets_map, committed, lineage,
-            new_dir=commit_rel, new_dir_kind="base",
+        read_nb = int(read_m["n_buckets"]) if read_m else self.n_buckets
+        for _ in range(16):
+            committed = self.committed_epochs()
+            if epoch_id in committed:
+                shutil.rmtree(commit_abs, ignore_errors=True)
+                return {"epoch_id": epoch_id, "skipped": True}
+            committed.add(epoch_id)
+            old_m = self.manifest()
+            if (old_m["version"] if old_m else None) != (
+                read_m["version"] if read_m else None
+            ):
+                now_gd = list(old_m.get("global_deltas", [])) if old_m else []
+                now_bk = {
+                    str(b): (old_m["buckets"].get(str(b)) if old_m else None)
+                    for b in affected
+                }
+                now_nb = int(old_m["n_buckets"]) if old_m else self.n_buckets
+                if (now_gd, now_bk, now_nb) != (read_gd, read_bk, read_nb):
+                    raise CommitConflictError(
+                        f"epoch {epoch_id!r}: a concurrent commit changed "
+                        f"this COW merge's read set (buckets {affected}); "
+                        "the epoch is uncommitted — re-run the merge"
+                    )
+            buckets_map = (
+                {k: list(v) for k, v in old_m["buckets"].items()} if old_m else {}
+            )
+            for b in affected:
+                buckets_map.pop(str(b), None)
+            for b in written_buckets:
+                buckets_map[str(b)] = [commit_rel]
+            version = (self.current_version() or 0) + 1 if old_m else 0
+            lineage = {
+                "epoch_id": epoch_id,
+                "version": version,
+                "mode": self.mode,
+                "affected_buckets": affected if affected is not None else sorted(written_buckets),
+                "written_buckets": sorted(written_buckets),
+                "keys_considered": metrics_row["keys_considered"] if metrics_row else None,
+                "keys_deleted": metrics_row["keys_deleted"] if metrics_row else None,
+                # JSON string: lineage() rows stay flat enough for
+                # spark.createDataFrame (nested variant maps break inference)
+                "partition_rows": partition_rows,
+            }
+            try:
+                self._commit_manifest(
+                    version, schema, buckets_map, committed, lineage,
+                    new_dir=commit_rel, new_dir_kind="base",
+                )
+                return lineage
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"epoch {epoch_id!r}: lost the version race 16 times in a row"
         )
-        return lineage
 
     def _merge_mor_append(
         self,
@@ -1252,7 +1353,13 @@ class SnapshotTable:
         )
         version = (self.current_version() or 0) + 1 if self.manifest() else 0
         tag = "".join(ch for ch in epoch_id if ch.isalnum())[-24:] or "e"
-        commit_rel = os.path.join("commits", f"c_{version:06d}_{tag}")
+        # attempt-unique dir: two workers retrying the SAME epoch must not
+        # interleave writes into one directory (the loser's manifest claim
+        # fails and its dir stays an unreferenced, vacuumable orphan; dir
+        # names are opaque — manifests reference them by relative path)
+        commit_rel = os.path.join(
+            "commits", f"c_{version:06d}_{tag}_{uuid.uuid4().hex[:6]}"
+        )
         commit_abs = os.path.join(self.root, commit_rel)
         # UNPARTITIONED delta: zero shuffle AND zero partition fan-out
         # (partitionBy from an unshuffled input would create
@@ -1262,10 +1369,8 @@ class SnapshotTable:
         metrics_row = observation.get
         if pre_commit is not None:
             pre_commit()
-        old_m = self.manifest()
-        buckets_map = {k: list(v) for k, v in old_m["buckets"].items()} if old_m else {}
-        global_deltas = list(old_m.get("global_deltas", [])) if old_m else []
-        if metrics_row and metrics_row["keys_considered"] == 0:
+        empty = bool(metrics_row) and metrics_row["keys_considered"] == 0
+        if empty:
             # fully-quarantined / empty epoch: commit the epoch id WITHOUT
             # growing the delta chain — a zero-row delta would still count
             # toward read amplification and maybe_compact's trigger. The
@@ -1273,38 +1378,64 @@ class SnapshotTable:
             # already ran, so this costs no extra scan (COW has the same
             # short-circuit up front via its affected-bucket probe).
             shutil.rmtree(commit_abs, ignore_errors=True)
+        partition_rows = None if empty else json.dumps(_partition_rows(commit_abs))
+        # commit with rebase-on-conflict: a MOR delta is position-
+        # independent (the LWW resolve is order-free), so losing the
+        # version race to ANY other commit just means re-deriving the
+        # manifest contents from the winner's state and claiming the next
+        # version. Data files are never rewritten on rebase.
+        for _ in range(16):
+            committed = self.committed_epochs()
+            if epoch_id in committed:
+                # a concurrent twin committed this very epoch first:
+                # exactly-once wins, our data dir becomes an orphan
+                shutil.rmtree(commit_abs, ignore_errors=True)
+                return {"epoch_id": epoch_id, "skipped": True}
+            committed.add(epoch_id)
+            old_m = self.manifest()
+            buckets_map = (
+                {k: list(v) for k, v in old_m["buckets"].items()} if old_m else {}
+            )
+            global_deltas = list(old_m.get("global_deltas", [])) if old_m else []
+            version = (self.current_version() or 0) + 1 if old_m else 0
+            if empty:
+                lineage = {
+                    "epoch_id": epoch_id,
+                    "version": version,
+                    "mode": "mor",
+                    "rows_in_batch": 0,
+                    "delete_rows": 0,
+                }
+                try:
+                    self._commit_manifest(
+                        version, schema, buckets_map, committed, lineage,
+                        global_deltas=global_deltas,
+                    )
+                    return lineage
+                except CommitConflictError:
+                    continue
+            global_deltas.append(commit_rel)
             lineage = {
                 "epoch_id": epoch_id,
                 "version": version,
                 "mode": "mor",
-                "rows_in_batch": 0,
-                "delete_rows": 0,
+                "delta_dir": commit_rel,
+                "rows_in_batch": metrics_row["keys_considered"] if metrics_row else None,
+                "delete_rows": metrics_row["keys_deleted"] if metrics_row else None,
+                "partition_rows": partition_rows,
             }
-            committed = self.committed_epochs()
-            committed.add(epoch_id)
-            self._commit_manifest(
-                version, schema, buckets_map, committed, lineage,
-                global_deltas=global_deltas,
-            )
-            return lineage
-        global_deltas.append(commit_rel)
-        lineage = {
-            "epoch_id": epoch_id,
-            "version": version,
-            "mode": "mor",
-            "delta_dir": commit_rel,
-            "rows_in_batch": metrics_row["keys_considered"] if metrics_row else None,
-            "delete_rows": metrics_row["keys_deleted"] if metrics_row else None,
-            "partition_rows": json.dumps(_partition_rows(commit_abs)),
-        }
-        committed = self.committed_epochs()
-        committed.add(epoch_id)
-        self._commit_manifest(
-            version, schema, buckets_map, committed, lineage,
-            new_dir=commit_rel, new_dir_kind="delta",
-            global_deltas=global_deltas,
+            try:
+                self._commit_manifest(
+                    version, schema, buckets_map, committed, lineage,
+                    new_dir=commit_rel, new_dir_kind="delta",
+                    global_deltas=global_deltas,
+                )
+                return lineage
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"epoch {epoch_id!r}: lost the version race 16 times in a row"
         )
-        return lineage
 
     def _commit_manifest(
         self,
@@ -1353,12 +1484,33 @@ class SnapshotTable:
         tmp = mpath + f".tmp{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             json.dump(m, f)
-        os.replace(tmp, mpath)
-        # LATEST swap is the commit point (atomic rename)
-        ltmp = self._latest_path() + f".tmp{uuid.uuid4().hex[:6]}"
-        with open(ltmp, "w") as f:
-            f.write(f"v{version:06d}")
-        os.replace(ltmp, self._latest_path())
+        # exclusive CLAIM of the version: link fails if another writer
+        # already committed this version (POSIX-atomic; the local-FS
+        # analogue of a conditional PUT / catalog compare-and-swap — on
+        # an object store this line becomes If-None-Match:* or the
+        # catalog's CAS). The tmp file is fully written first, so a
+        # reader can never observe a partial manifest.
+        try:
+            os.link(tmp, mpath)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version {version} was committed by another writer"
+            )
+        finally:
+            os.unlink(tmp)
+        # LATEST advance (monotone best-effort: the pointer is a hint and
+        # current_version() probes forward past it, so a lost pointer
+        # race self-heals; never move the hint backwards)
+        try:
+            with open(self._latest_path()) as f:
+                hint = int(f.read().strip().lstrip("v"))
+        except FileNotFoundError:
+            hint = -1
+        if version > hint:
+            ltmp = self._latest_path() + f".tmp{uuid.uuid4().hex[:6]}"
+            with open(ltmp, "w") as f:
+                f.write(f"v{version:06d}")
+            os.replace(ltmp, self._latest_path())
 
     # ---------------------------------------------------------- maintenance
 

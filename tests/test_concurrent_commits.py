@@ -1,0 +1,176 @@
+"""Optimistic concurrency on SnapshotTable commits.
+
+The manifest version file is claimed exclusively (hard-link create — the
+local-FS analogue of a conditional PUT / catalog CAS): exactly one of two
+racing writers wins a version. MOR appends rebase automatically (a global
+delta is position-independent under the LWW resolve); COW merges rebase
+only when the conflicting commits did not change their read set, else
+``CommitConflictError`` propagates with the epoch uncommitted and the
+merge is safe to re-run. The LATEST pointer is a hint — ``current_version``
+probes forward past it, so a writer crashing (or losing a pointer race)
+between the manifest claim and the pointer swap never hides a commit.
+
+Interleavings are made deterministic by wrapping one writer's
+``_commit_manifest`` so that its FIRST commit attempt lets a twin handle
+(a second SnapshotTable on the same root) commit first — producing a real
+version collision on the real claim path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from aws_serverless_elt_pipeline_enterprise_spark.tableio.snapshot import (
+    CommitConflictError,
+    SnapshotTable,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "op string, doc_id string, seq long, v double")
+
+
+def _mk(spark, tmp_path, mode="mor", name="t"):
+    return SnapshotTable(
+        spark, str(tmp_path / name), key_col="doc_id", n_buckets=4, mode=mode
+    )
+
+
+def _state(t):
+    return {r["doc_id"]: r["v"] for r in t.state().collect()}
+
+
+def _interpose(t, before_first_commit):
+    """Run ``before_first_commit()`` immediately before t's first commit
+    attempt (after its data files are written), then let the real commit
+    proceed — the twin's commit claims the version first, so t's claim
+    genuinely collides."""
+    real = t._commit_manifest
+    fired = {"done": False}
+
+    def wrapper(*args, **kwargs):
+        if not fired["done"]:
+            fired["done"] = True
+            before_first_commit()
+        return real(*args, **kwargs)
+
+    t._commit_manifest = wrapper
+    return fired
+
+
+def test_latest_pointer_is_a_self_healing_hint(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    t.merge_reduced(_batch(spark, [("insert", "b", 2, 2.0)]), "e1")
+    cur = t.current_version()
+    # regress the pointer (a lost pointer race / torn crash recovery)
+    with open(t._latest_path(), "w") as f:
+        f.write("v000000")
+    assert t.current_version() == cur  # probed forward past the stale hint
+    assert _state(t) == {"a": 1.0, "b": 2.0}
+    # crash BEFORE the first pointer write: manifests exist, LATEST absent
+    os.remove(t._latest_path())
+    assert t.current_version() == cur
+    assert _state(t) == {"a": 1.0, "b": 2.0}
+
+
+def test_mor_concurrent_writers_both_commit(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="mor")
+    _interpose(
+        t,
+        lambda: twin.merge_reduced(
+            _batch(spark, [("insert", "b", 2, 2.0)]), "twin-0"
+        ),
+    )
+    lin = t.merge_reduced(_batch(spark, [("insert", "c", 3, 3.0)]), "e1")
+    assert not lin.get("skipped")
+    # t rebased past the twin's version: both commits are in the chain
+    assert _state(t) == {"a": 1.0, "b": 2.0, "c": 3.0}
+    assert t.has_epoch("twin-0") and t.has_epoch("e1")
+    assert lin["version"] == t.current_version()
+    # the chain is contiguous (no clobbered version)
+    m = t.manifest()
+    assert len(m["global_deltas"]) == 3
+
+
+def test_mor_same_epoch_twin_wins_exactly_once(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="mor")
+    _interpose(
+        t,
+        lambda: twin.merge_reduced(
+            _batch(spark, [("update", "a", 2, 2.0)]), "e1"
+        ),
+    )
+    lin = t.merge_reduced(_batch(spark, [("update", "a", 2, 2.0)]), "e1")
+    assert lin == {"epoch_id": "e1", "skipped": True}
+    assert _state(t) == {"a": 2.0}
+    # exactly one delta for e1 in the chain (plus e0's)
+    assert len(t.manifest()["global_deltas"]) == 2
+    # the loser's attempt-unique data dir was removed; nothing dangles
+    assert t.expire_orphans() == []
+
+
+def test_cow_concurrent_disjoint_buckets_rebase(spark, tmp_path):
+    t = _mk(spark, tmp_path, mode="cow")
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    # pick two keys in DIFFERENT buckets (disjoint COW read sets)
+    keys = ["k%d" % i for i in range(16)]
+    bks = dict(zip(keys, (t.buckets_for([k])[0] for k in keys)))
+    k1 = keys[0]
+    k2 = next(k for k in keys[1:] if bks[k] != bks[k1])
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="cow")
+    _interpose(
+        t,
+        lambda: twin.merge_reduced(
+            _batch(spark, [("insert", k2, 2, 2.0)]), "twin-0"
+        ),
+    )
+    lin = t.merge_reduced(_batch(spark, [("insert", k1, 3, 3.0)]), "e1")
+    assert not lin.get("skipped")
+    assert _state(t) == {"a": 1.0, k1: 3.0, k2: 2.0}
+    assert t.has_epoch("twin-0") and t.has_epoch("e1")
+
+
+def test_cow_concurrent_overlapping_buckets_conflict_and_rerun(spark, tmp_path):
+    t = _mk(spark, tmp_path, mode="cow")
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="cow")
+    _interpose(
+        t,
+        lambda: twin.merge_reduced(
+            _batch(spark, [("update", "a", 2, 2.0)]), "twin-0"
+        ),
+    )
+    with pytest.raises(CommitConflictError):
+        # same key -> same bucket: t's rewrite folded stale state, so the
+        # lost race must NOT be silently rebased
+        t.merge_reduced(_batch(spark, [("update", "a", 3, 3.0)]), "e1")
+    assert not t.has_epoch("e1")  # the epoch stayed uncommitted
+    assert _state(t) == {"a": 2.0}  # the twin's commit is intact
+    # the loser's data dir is an unreferenced orphan, vacuumable (the
+    # vacuum also removes prior versions' superseded dirs, by design)
+    assert any("_e1_" in d for d in t.expire_orphans())
+    # re-running the merge against fresh state converges (LWW holds)
+    lin = t.merge_reduced(_batch(spark, [("update", "a", 3, 3.0)]), "e1")
+    assert not lin.get("skipped")
+    assert _state(t) == {"a": 3.0}
+
+
+def test_mor_rebases_over_concurrent_compaction(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    t.merge_reduced(_batch(spark, [("update", "a", 2, 2.0)]), "e1")
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="mor")
+    _interpose(t, lambda: twin.compact())
+    lin = t.merge_reduced(_batch(spark, [("insert", "b", 3, 3.0)]), "e2")
+    assert not lin.get("skipped")
+    # the delta landed ON TOP of the compacted base
+    m = t.manifest()
+    assert m["global_deltas"] == [lin["delta_dir"]]
+    assert _state(t) == {"a": 2.0, "b": 3.0}
