@@ -127,15 +127,33 @@ class CdfExporter:
 
     # -------------------------------------------------------------- public
 
-    def export(self) -> dict:
+    # shared-diff protocol (streaming.replay._refresh_views): exporters
+    # share a diff only with views consuming the SAME images mode — a
+    # 'post'-mode delete carries the deleting seq while 'both' carries
+    # the pre-delete row, so the modes are not derivable from each other
+    @property
+    def cdf_images(self) -> str:
+        return self.images
+
+    def cdf_bookmark(self) -> int | None:
+        return self._fastforward(self._read_bookmark())
+
+    def export(self, changes=None, to_version=None) -> dict:
         """Publish all changes since the last export. Returns
         ``{from_version, to_version, span_dir, bootstrapped, rows,
         skipped}``; a no-op (source hasn't advanced) has
-        ``span_dir=None``."""
+        ``span_dir=None``.
+
+        ``changes``/``to_version``: optional pre-computed shared CDF
+        diff spanning exactly ``(cdf_bookmark(), to_version]`` in this
+        exporter's ``images`` mode (see MaterializedAggregate.refresh)."""
         bookmark = self._fastforward(self._read_bookmark())
-        changes, to_v, bootstrapped = self.source.read_changes_since(
-            bookmark, images=self.images
-        )
+        if changes is not None:
+            to_v, bootstrapped = to_version, False
+        else:
+            changes, to_v, bootstrapped = self.source.read_changes_since(
+                bookmark, images=self.images
+            )
         if bookmark is None and any(
             d.startswith("span=") for d in os.listdir(self.dest)
         ):

@@ -179,14 +179,31 @@ class MaterializedAggregate:
 
     # -------------------------------------------------------------- public
 
-    def refresh(self) -> dict:
+    # shared-diff protocol (streaming.replay._refresh_views): views with
+    # the same (source, bookmark, images) consume ONE persisted CDF diff
+    cdf_images = "both"
+
+    def cdf_bookmark(self) -> int | None:
+        return self._ledger_fastforward(self._read_bookmark())
+
+    def refresh(self, changes=None, to_version=None) -> dict:
         """Advance the aggregate to the source's current version. Cost is
         O(changes since bookmark) + O(touched agg buckets), never
-        O(source table) or O(all groups) — except on bootstrap."""
+        O(source table) or O(all groups) — except on bootstrap.
+
+        ``changes``/``to_version``: a pre-computed (usually persisted)
+        ``read_changes_since(cdf_bookmark(), images='both')`` frame
+        shared across sibling views, so the diff's two bucket-pruned
+        LWW resolves run once per span instead of once per view. The
+        caller guarantees the frame spans exactly
+        ``(cdf_bookmark(), to_version]`` and is not a bootstrap."""
         bookmark = self._ledger_fastforward(self._read_bookmark())
-        changes, to_v, bootstrapped = self.source.read_changes_since(
-            bookmark, images="both"
-        )
+        if changes is not None:
+            to_v, bootstrapped = to_version, False
+        else:
+            changes, to_v, bootstrapped = self.source.read_changes_since(
+                bookmark, images="both"
+            )
         if to_v == bookmark:
             self._write_bookmark(to_v)  # persist a ledger fast-forward
             return {

@@ -141,11 +141,23 @@ class SecondaryIndex:
 
     # -------------------------------------------------------------- public
 
-    def refresh(self) -> dict:
+    # shared-diff protocol (streaming.replay._refresh_views)
+    cdf_images = "both"
+
+    def cdf_bookmark(self) -> int | None:
+        return self._bm.fastforward(self._bm.read())
+
+    def refresh(self, changes=None, to_version=None) -> dict:
+        """``changes``/``to_version``: optional pre-computed shared CDF
+        diff spanning exactly ``(cdf_bookmark(), to_version]`` with
+        ``images='both'`` (see MaterializedAggregate.refresh)."""
         bookmark = self._bm.fastforward(self._bm.read())
-        changes, to_v, bootstrapped = self.source.read_changes_since(
-            bookmark, images="both"
-        )
+        if changes is not None:
+            to_v, bootstrapped = to_version, False
+        else:
+            changes, to_v, bootstrapped = self.source.read_changes_since(
+                bookmark, images="both"
+            )
         if to_v == bookmark:
             self._bm.write(to_v)
             return {

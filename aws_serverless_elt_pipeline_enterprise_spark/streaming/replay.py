@@ -303,8 +303,7 @@ def run_replay(
         if compact_every is not None:
             table.maybe_compact(max_deltas=compact_every)
         if maintain and len(result.epochs_applied) % max(1, maintain_every) == 0:
-            for view in maintain:
-                view.refresh()
+            _refresh_views(maintain)
         # commit-then-checkpoint: table state is authoritative; the file is
         # written only after the table owns the epoch
         if ckpt_file:
@@ -318,9 +317,49 @@ def run_replay(
     # (or a run where every epoch skipped) still converges; no-op when
     # the view's bookmark is current
     if maintain and table.current_version() is not None:
-        for view in maintain:
-            view.refresh()
+        _refresh_views(maintain)
     return result
+
+
+def _refresh_views(views) -> None:
+    """Refresh maintained views, computing each distinct CDF diff ONCE.
+
+    Views over the same source, at the same bookmark, consuming the same
+    images mode (e.g. a MaterializedAggregate and a SecondaryIndex kept
+    in lockstep) would each re-run the identical ``read_changes_since``
+    span — whose two bucket-pruned LWW resolves are the dominant refresh
+    cost. Here the group's diff is computed once, persisted, and handed
+    to every member via ``refresh(changes=, to_version=)``; singleton
+    groups, bootstrap spans, no-op spans, and views that don't speak the
+    shared-diff protocol (no ``cdf_bookmark``/``cdf_images``) fall back
+    to their own ``refresh()``, which handles those cases already."""
+    solo = []
+    groups: dict[tuple, list] = {}
+    for v in views:
+        src = getattr(v, "source", None)
+        bm_fn = getattr(v, "cdf_bookmark", None)
+        img = getattr(v, "cdf_images", None)
+        if src is None or bm_fn is None or img is None:
+            solo.append(v)
+            continue
+        groups.setdefault((id(src), bm_fn(), img), []).append(v)
+    for (_, bm, img), vs in groups.items():
+        if len(vs) == 1 or bm is None:
+            solo.extend(vs)
+            continue
+        src = vs[0].source
+        changes, to_v, boot = src.read_changes_since(bm, images=img)
+        if boot or to_v == bm:
+            solo.extend(vs)
+            continue
+        changes = changes.persist()
+        try:
+            for v in vs:
+                v.refresh(changes=changes, to_version=to_v)
+        finally:
+            changes.unpersist()
+    for v in solo:
+        v.refresh()
 
 
 def replay_range(
@@ -671,8 +710,7 @@ def run_replay_streaming(
             # or a resume where no micro-batch fired (no new files) —
             # refreshes are exactly-once on the view's own ledger
             if maintain and table.current_version() is not None:
-                for view in maintain:
-                    view.refresh()
+                _refresh_views(maintain)
             return  # processed everything available under a stable schema
 
 
@@ -717,8 +755,7 @@ def _make_merge(
         # foreachBatch crash-replay cannot double-apply a delta
         applied["n"] += 1
         if maintain and applied["n"] % max(1, maintain_every) == 0:
-            for view in maintain:
-                view.refresh()
+            _refresh_views(maintain)
 
     return _merge
 

@@ -76,7 +76,13 @@ def main() -> None:
                 MaterializedAggregate(
                     spark, table, os.path.join(tdir, "_mv"), ["source"]
                 ),
-                CdfExporter(spark, table, os.path.join(tdir, "_outbox")),
+                # images='both' (the Delta-CDF two-row encoding a
+                # downstream merge consumer wants) ALSO puts the exporter
+                # in the aggregate's shared-diff group: one
+                # read_changes_since per lockstep tick for both views
+                CdfExporter(
+                    spark, table, os.path.join(tdir, "_outbox"), images="both"
+                ),
             ]
         t0 = time.monotonic()
         run_replay(
