@@ -321,7 +321,7 @@ def run_replay(
     return result
 
 
-def _refresh_views(views) -> None:
+def refresh_views(views) -> None:
     """Refresh maintained views, computing each distinct CDF diff ONCE.
 
     Views over the same source, at the same bookmark, consuming the same
@@ -360,6 +360,10 @@ def _refresh_views(views) -> None:
             changes.unpersist()
     for v in solo:
         v.refresh()
+
+
+# internal alias: the replay loops predate the public name
+_refresh_views = refresh_views
 
 
 def replay_range(
