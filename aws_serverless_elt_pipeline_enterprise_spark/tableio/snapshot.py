@@ -1514,6 +1514,57 @@ class SnapshotTable:
 
     # ---------------------------------------------------------- maintenance
 
+    def _commit_rewrite(
+        self,
+        read_m: dict,
+        schema: T.StructType,
+        buckets_map: dict,
+        folded: set,
+        lineage_base: dict,
+        commit_rel: str,
+        own_delta: bool = False,
+    ) -> dict:
+        """Commit a maintenance rewrite (full or minor compaction) with
+        rebase over intervening MOR appends: appenders only EXTEND the
+        global delta chain, so the rewrite stays valid — keep the
+        interveners' deltas (everything not in ``folded``) on top of the
+        rewritten files, take the fresh epoch ledger, claim the next
+        version. A concurrent commit that changed the BUCKET MAP
+        (another compaction, a COW merge, a rebucket) invalidated the
+        rewrite's read set: raise, leaving the written dir a vacuumable
+        orphan — re-running the maintenance op is always safe."""
+        for _ in range(16):
+            old_m = self.manifest()
+            if old_m["version"] != read_m["version"] and (
+                old_m["buckets"] != read_m["buckets"]
+                or int(old_m["n_buckets"]) != int(read_m["n_buckets"])
+            ):
+                raise CommitConflictError(
+                    f"{lineage_base.get('epoch_id')}: a concurrent commit "
+                    "rewrote buckets during this maintenance op — re-run it"
+                )
+            survivors = [
+                d for d in old_m.get("global_deltas", []) if d not in folded
+            ]
+            global_deltas = (
+                [commit_rel] + survivors if own_delta else survivors
+            )
+            lineage = dict(lineage_base, version=old_m["version"] + 1)
+            try:
+                self._commit_manifest(
+                    lineage["version"], schema, buckets_map,
+                    self.committed_epochs(), lineage,
+                    new_dir=commit_rel,
+                    new_dir_kind="delta" if own_delta else "base",
+                    global_deltas=global_deltas,
+                )
+                return lineage
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"{lineage_base.get('epoch_id')}: lost the version race 16 times"
+        )
+
     def compact(
         self,
         purge_tombstones_below_seq: int | None = None,
@@ -1533,12 +1584,22 @@ class SnapshotTable:
         filters ``lookup()`` pushes down (PushedFilters on the scan) skip
         every row group but the probed keys' — at 10^10 rows a point read
         touches ~1 row group per key instead of the whole bucket. Same
-        idea as Iceberg's sort-order table property / Z-order for 1-D."""
+        idea as Iceberg's sort-order table property / Z-order for 1-D.
+
+        Safe to run CONCURRENT with MOR appenders (the 10^10-scale
+        deployment: a scheduled rewrite job under a live stream): the
+        compaction folds the state as of its read version, and if an
+        appender commits meanwhile, the commit loop rebases — the
+        compacted base replaces the buckets, folded deltas drop, and
+        the interveners' deltas survive on top (LWW is order-free, so
+        base ∪ late-delta resolves identically either way). A concurrent
+        commit that rewrote BUCKETS (another compaction, a COW merge,
+        a rebucket) raises ``CommitConflictError`` instead — re-run."""
         m = self.manifest()
         if m is None:
             return {"skipped": True}
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        df = self.read()
+        df = self.read(version=m["version"])
         if purge_tombstones_below_seq is not None:
             df = df.filter(
                 ~(
@@ -1546,8 +1607,10 @@ class SnapshotTable:
                     & (F.col(self.SEQ_COL) < purge_tombstones_below_seq)
                 )
             )
-        version = self.current_version() + 1
-        commit_rel = os.path.join("commits", f"c_{version:06d}_compact")
+        version = m["version"] + 1
+        commit_rel = os.path.join(
+            "commits", f"c_{version:06d}_compact_{uuid.uuid4().hex[:6]}"
+        )
         commit_abs = os.path.join(self.root, commit_rel)
         out = df.repartition(self.n_buckets, F.col(self.BUCKET_COL))
         if sort_within_buckets:
@@ -1562,12 +1625,12 @@ class SnapshotTable:
             for d in os.listdir(commit_abs)
             if d.startswith(f"{self.BUCKET_COL}=")
         }
-        lineage = {"epoch_id": "__compaction", "version": version, "compaction": True}
-        self._commit_manifest(
-            version, schema, buckets_map, self.committed_epochs(), lineage,
-            new_dir=commit_rel, new_dir_kind="base", global_deltas=[],
+        folded = set(m.get("global_deltas", []))
+        return self._commit_rewrite(
+            m, schema, buckets_map, folded,
+            {"epoch_id": "__compaction", "compaction": True},
+            commit_rel,
         )
-        return lineage
 
     def rebucket(self, n_buckets: int, sort_within_buckets: bool = False) -> dict:
         """Online bucket-count evolution: rewrite the snapshot under a
@@ -1603,8 +1666,14 @@ class SnapshotTable:
         df = df.drop(self.BUCKET_COL).withColumn(
             self.BUCKET_COL, self.bucket_expr()
         )
+        # a rebucket changes the hash function itself, so ANY concurrent
+        # commit invalidates it: the exclusive version claim raises
+        # CommitConflictError and the op must be re-run (stop-the-world
+        # by design; appenders can keep running and simply win the race)
         version = self.current_version() + 1
-        commit_rel = os.path.join("commits", f"c_{version:06d}_rebucket")
+        commit_rel = os.path.join(
+            "commits", f"c_{version:06d}_rebucket_{uuid.uuid4().hex[:6]}"
+        )
         commit_abs = os.path.join(self.root, commit_rel)
         out = df.repartition(self.n_buckets, F.col(self.BUCKET_COL))
         if sort_within_buckets:
@@ -1651,27 +1720,23 @@ class SnapshotTable:
         )
         ddf = conform(ddf, self._data_schema(schema))
         merged = self._resolve(ddf, schema)
-        version = self.current_version() + 1
-        commit_rel = os.path.join("commits", f"c_{version:06d}_minor")
+        commit_rel = os.path.join(
+            "commits",
+            f"c_{m['version'] + 1:06d}_minor_{uuid.uuid4().hex[:6]}",
+        )
         commit_abs = os.path.join(self.root, commit_rel)
         merged.write.mode("overwrite").parquet(commit_abs)
-        lineage = {
-            "epoch_id": "__minor_compaction",
-            "version": version,
-            "minor_compaction": True,
-            "deltas_merged": len(gdeltas),
-        }
-        self._commit_manifest(
-            version,
-            schema,
+        # rebase-safe like compact(): deltas appended by concurrent MOR
+        # writers survive AFTER the merged delta (resolve is order-free)
+        return self._commit_rewrite(
+            m, schema,
             {k: list(v) for k, v in m["buckets"].items()},
-            self.committed_epochs(),
-            lineage,
-            new_dir=commit_rel,
-            new_dir_kind="delta",
-            global_deltas=[commit_rel],
+            set(gdeltas),
+            {"epoch_id": "__minor_compaction", "minor_compaction": True,
+             "deltas_merged": len(gdeltas)},
+            commit_rel,
+            own_delta=True,
         )
-        return lineage
 
     def maybe_compact(self, max_deltas: int = 16, minor: bool = True) -> dict | None:
         """Maintenance policy: compact when the unresolved delta chain

@@ -134,7 +134,7 @@ def test_compact_sort_within_buckets(spark, tmp_path):
     # state unchanged by the sorted rewrite
     assert t.state().count() == 200
     # every data file is key-sorted -> its row-group min/max are disjoint
-    files = glob.glob(str(tmp_path / "t" / "commits" / "*compact" / "_bucket=*" / "*.parquet"))
+    files = glob.glob(str(tmp_path / "t" / "commits" / "*compact*" / "_bucket=*" / "*.parquet"))
     assert files
     for f in files:
         keys = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()

@@ -228,3 +228,60 @@ def test_two_replay_workers_on_one_table_converge(spark, tmp_path):
     # version chain is contiguous from 0 (no clobbered/skipped version)
     vs = sorted(row["version"] for row in t.lineage())
     assert vs == list(range(len(vs)))
+
+
+def test_compact_rebases_over_concurrent_append(spark, tmp_path):
+    """A scheduled full compaction under a live MOR appender: the
+    compaction folds the state as of its read version; an epoch
+    committed meanwhile survives as a delta ON TOP of the compacted
+    base (LWW is order-free, so the resolve is identical either way)."""
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    t.merge_reduced(_batch(spark, [("update", "a", 2, 2.0)]), "e1")
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="mor")
+    _interpose(
+        t,
+        lambda: twin.merge_reduced(
+            _batch(spark, [("insert", "b", 3, 3.0)]), "live-0"
+        ),
+    )
+    lin = t.compact(sort_within_buckets=True)
+    assert not lin.get("skipped")
+    m = t.manifest()
+    # folded deltas (e0, e1) gone; the live appender's delta survives
+    assert len(m["global_deltas"]) == 1
+    assert t.has_epoch("live-0")
+    assert _state(t) == {"a": 2.0, "b": 3.0}
+
+
+def test_minor_compaction_rebases_over_concurrent_append(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for i, (k, v) in enumerate([("a", 1.0), ("b", 2.0), ("a", 3.0)]):
+        t.merge_reduced(_batch(spark, [("insert", k, i + 1, v)]), f"e{i}")
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="mor")
+    _interpose(
+        t,
+        lambda: twin.merge_reduced(
+            _batch(spark, [("insert", "c", 9, 9.0)]), "live-0"
+        ),
+    )
+    lin = t.compact_minor()
+    assert lin["deltas_merged"] == 3
+    m = t.manifest()
+    # merged delta + the live appender's surviving delta
+    assert len(m["global_deltas"]) == 2
+    assert _state(t) == {"a": 3.0, "b": 2.0, "c": 9.0}
+
+
+def test_concurrent_compactions_conflict_and_rerun(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    t.merge_reduced(_batch(spark, [("update", "a", 2, 2.0)]), "e1")
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="mor")
+    _interpose(t, lambda: twin.compact())
+    with pytest.raises(CommitConflictError):
+        t.compact()  # the twin rewrote the bucket map first
+    assert _state(t) == {"a": 2.0}  # the twin's compaction is intact
+    lin = t.compact()  # re-run against fresh state converges
+    assert not lin.get("skipped")
+    assert _state(t) == {"a": 2.0}

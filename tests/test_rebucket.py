@@ -38,7 +38,7 @@ def test_rebucket_preserves_state_and_serves_lookups(spark, tmp_path, mode):
     assert t.lookup(["k5"]).count() == 0  # tombstone survived the rewrite
     # physical layout actually uses 16 buckets now
     cdir = os.path.join(str(tmp_path / mode / "t"), "commits")
-    reb = [d for d in os.listdir(cdir) if d.endswith("_rebucket")]
+    reb = [d for d in os.listdir(cdir) if "_rebucket_" in d]
     assert len(reb) == 1
     nb = len(
         [d for d in os.listdir(os.path.join(cdir, reb[0])) if d.startswith("_bucket=")]
