@@ -21,6 +21,10 @@ visible semantics Iceberg would give us:
                               otherwise the conflict propagates and the
                               caller re-runs the merge against fresh
                               state — Iceberg's validation semantics).
+                              Compactions rebase over concurrent MOR
+                              appends too (the live-stream + scheduled-
+                              rewrite deployment); bucket-map conflicts
+                              raise and the maintenance op is re-run.
   * epoch-idempotent commit — each manifest carries the cumulative set of
                               committed epoch IDs; re-merging an already
                               committed epoch is a no-op. This translates
