@@ -113,3 +113,51 @@ def test_epoch_ledger_matches_reference_set(ids):
     # and some non-members
     for probe in ["zz-999", "17", "a-051", ""]:
         assert (probe in led2) == (probe in ref)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 30)), min_size=1, max_size=40
+    ),
+    n_epochs=st.integers(2, 4),
+    seed=st.integers(0, 2**16),
+    mode=st.sampled_from(["cow", "mor"]),
+)
+def test_maintenance_interleaved_anywhere_converges(
+    spark, tmp_path_factory, data, n_epochs, seed, mode
+):
+    """Maintenance ops (full/minor compaction, snapshot expiry, rebucket)
+    injected pseudo-randomly BETWEEN epochs never change the final state:
+    they rewrite layout, not content — including through the rebase-aware
+    _commit_rewrite path and bucket-count evolution mid-history."""
+    events = [_event(k, s) for k, s in data]
+    epochs = [[] for _ in range(n_epochs)]
+    for i, ev in enumerate(events):
+        epochs[(i * 2654435761 + seed) % n_epochs].append(ev)
+
+    root = str(tmp_path_factory.mktemp("propm"))
+    table = SnapshotTable(spark, root, n_buckets=3, mode=mode)
+    for idx in range(n_epochs):
+        if epochs[idx]:
+            df = spark.createDataFrame(epochs[idx], ENVELOPE)
+            apply_epoch(table, df, f"e{idx}")
+        pick = (idx * 48271 + seed) % 5
+        if pick == 0:
+            table.compact(sort_within_buckets=bool(seed % 2))
+        elif pick == 1:
+            table.compact_minor()
+        elif pick == 2:
+            table.expire_snapshots(keep_last=2)
+        elif pick == 3:
+            table.rebucket(3 + (seed % 4))
+        # pick == 4: no maintenance this round
+    got = {
+        r.doc_id: tuple(r.tokens)
+        for r in table.state().select("doc_id", "tokens").collect()
+    }
+    assert got == oracle_state(events)
