@@ -1110,14 +1110,21 @@ class SnapshotTable:
             # empty COW batch: commit the epoch id only (no data); rebase
             # freely on a lost version race — there is no read set
             for _ in range(16):
-                ledger = self.committed_epochs()
+                # ONE manifest snapshot per attempt (see _merge_mor_append):
+                # ledger and version derive from the SAME read, and the
+                # claim targets snapshot.version + 1 exactly so any
+                # intervening commit forces a conflict instead of being
+                # silently dropped by a fresher version number
+                old_m = self.manifest()
+                ledger = (
+                    EpochLedger(old_m["committed_epochs"]) if old_m else EpochLedger()
+                )
                 if epoch_id in ledger:
                     return {"epoch_id": epoch_id, "skipped": True}
                 ledger.add(epoch_id)
-                old_m = self.manifest()
                 lineage = {
                     "epoch_id": epoch_id,
-                    "version": (self.current_version() or 0) + 1 if old_m else 0,
+                    "version": old_m["version"] + 1 if old_m else 0,
                     "affected_buckets": [],
                     "written_buckets": [],
                     "keys_considered": 0,
@@ -1276,12 +1283,15 @@ class SnapshotTable:
         }
         read_nb = int(read_m["n_buckets"]) if read_m else self.n_buckets
         for _ in range(16):
-            committed = self.committed_epochs()
+            # ONE manifest snapshot per attempt (see _merge_mor_append)
+            old_m = self.manifest()
+            committed = (
+                EpochLedger(old_m["committed_epochs"]) if old_m else EpochLedger()
+            )
             if epoch_id in committed:
                 shutil.rmtree(commit_abs, ignore_errors=True)
                 return {"epoch_id": epoch_id, "skipped": True}
             committed.add(epoch_id)
-            old_m = self.manifest()
             if (old_m["version"] if old_m else None) != (
                 read_m["version"] if read_m else None
             ):
@@ -1304,7 +1314,7 @@ class SnapshotTable:
                 buckets_map.pop(str(b), None)
             for b in written_buckets:
                 buckets_map[str(b)] = [commit_rel]
-            version = (self.current_version() or 0) + 1 if old_m else 0
+            version = old_m["version"] + 1 if old_m else 0
             lineage = {
                 "epoch_id": epoch_id,
                 "version": version,
@@ -1355,7 +1365,10 @@ class SnapshotTable:
             F.count(F.lit(1)).alias("keys_considered"),
             F.count_if(F.col(self.DEL_COL)).alias("keys_deleted"),
         )
-        version = (self.current_version() or 0) + 1 if self.manifest() else 0
+        # version here names the data dir only (cosmetic): the COMMIT
+        # version is re-derived per attempt inside the retry loop below
+        m0 = self.manifest()
+        version = m0["version"] + 1 if m0 else 0
         tag = "".join(ch for ch in epoch_id if ch.isalnum())[-24:] or "e"
         # attempt-unique dir: two workers retrying the SAME epoch must not
         # interleave writes into one directory (the loser's manifest claim
@@ -1389,19 +1402,26 @@ class SnapshotTable:
         # manifest contents from the winner's state and claiming the next
         # version. Data files are never rewritten on rebase.
         for _ in range(16):
-            committed = self.committed_epochs()
+            # ONE manifest snapshot per attempt: ledger, bucket map, delta
+            # chain, and version must all come from the SAME manifest — two
+            # separate reads could straddle a concurrent commit and write a
+            # new manifest whose ledger misses the winner's epoch (silent
+            # exactly-once violation) or whose chain drops its delta
+            old_m = self.manifest()
+            committed = (
+                EpochLedger(old_m["committed_epochs"]) if old_m else EpochLedger()
+            )
             if epoch_id in committed:
                 # a concurrent twin committed this very epoch first:
                 # exactly-once wins, our data dir becomes an orphan
                 shutil.rmtree(commit_abs, ignore_errors=True)
                 return {"epoch_id": epoch_id, "skipped": True}
             committed.add(epoch_id)
-            old_m = self.manifest()
             buckets_map = (
                 {k: list(v) for k, v in old_m["buckets"].items()} if old_m else {}
             )
             global_deltas = list(old_m.get("global_deltas", [])) if old_m else []
-            version = (self.current_version() or 0) + 1 if old_m else 0
+            version = old_m["version"] + 1 if old_m else 0
             if empty:
                 lineage = {
                     "epoch_id": epoch_id,
@@ -1557,7 +1577,10 @@ class SnapshotTable:
             try:
                 self._commit_manifest(
                     lineage["version"], schema, buckets_map,
-                    self.committed_epochs(), lineage,
+                    # ledger from the SAME snapshot as version/chain (a
+                    # separate read could straddle a concurrent commit
+                    # and drop its epoch from the new manifest)
+                    EpochLedger(old_m["committed_epochs"]), lineage,
                     new_dir=commit_rel,
                     new_dir_kind="delta" if own_delta else "base",
                     global_deltas=global_deltas,
@@ -1664,17 +1687,18 @@ class SnapshotTable:
         if int(n_buckets) == self.n_buckets:
             return {"skipped": True, "n_buckets": self.n_buckets}
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        df = self.read()
+        df = self.read(version=m["version"])
         old_n = self.n_buckets
         self.n_buckets = int(n_buckets)
         df = df.drop(self.BUCKET_COL).withColumn(
             self.BUCKET_COL, self.bucket_expr()
         )
         # a rebucket changes the hash function itself, so ANY concurrent
-        # commit invalidates it: the exclusive version claim raises
-        # CommitConflictError and the op must be re-run (stop-the-world
-        # by design; appenders can keep running and simply win the race)
-        version = self.current_version() + 1
+        # commit invalidates it: the claim targets exactly m.version + 1,
+        # so an intervening commit forces CommitConflictError and the op
+        # must be re-run (stop-the-world by design; appenders can keep
+        # running and simply win the race)
+        version = m["version"] + 1
         commit_rel = os.path.join(
             "commits", f"c_{version:06d}_rebucket_{uuid.uuid4().hex[:6]}"
         )
@@ -1697,10 +1721,17 @@ class SnapshotTable:
             "version": version,
             "rebucket": {"from": old_n, "to": self.n_buckets},
         }
-        self._commit_manifest(
-            version, schema, buckets_map, self.committed_epochs(), lineage,
-            new_dir=commit_rel, new_dir_kind="base", global_deltas=[],
-        )
+        try:
+            self._commit_manifest(
+                version, schema, buckets_map,
+                EpochLedger(m["committed_epochs"]), lineage,
+                new_dir=commit_rel, new_dir_kind="base", global_deltas=[],
+            )
+        except CommitConflictError:
+            # the table on disk still has the old count: keep the handle
+            # consistent with it before propagating
+            self.n_buckets = old_n
+            raise
         return lineage
 
     def compact_minor(self) -> dict:
@@ -1755,7 +1786,7 @@ class SnapshotTable:
             return None
         return self.compact_minor() if minor else self.compact()
 
-    def expire_snapshots(self, keep_last: int = 8) -> dict:
+    def expire_snapshots(self, keep_last: int = 8, older_than_s: float = 0.0) -> dict:
         """Metadata + data retention (Iceberg ``expire_snapshots``): keep
         only the newest ``keep_last`` version manifests, then remove every
         commit dir no kept manifest references. Without this, one manifest
@@ -1765,10 +1796,11 @@ class SnapshotTable:
         LATEST) pin their data on disk. Time travel stays available within
         the kept horizon and raises FileNotFoundError beyond it.
 
-        Like ``expire_orphans``, this is a maintenance operation: do not
-        run it concurrent with a writer (an in-flight commit dir whose
-        manifest is not yet written would look unreferenced — the same
-        caveat as Iceberg's remove_orphan_files retention interval)."""
+        Like ``expire_orphans``, the commit-dir sweep can race an
+        in-flight writer (its data dir exists before the manifest claim):
+        pass ``older_than_s`` greater than the longest expected commit
+        duration when writers may be live — Iceberg's
+        remove_orphan_files retention interval."""
         cur = self.current_version()
         out = {"removed_manifests": [], "removed_commits": []}
         if cur is None:
@@ -1791,17 +1823,34 @@ class SnapshotTable:
         # a table whose only committed epochs were empty has manifests but
         # no commits dir (the empty-batch path commits a manifest without
         # ever writing commit data) — nothing to expire there
+        cutoff = time.time() - older_than_s
         for d in os.listdir(cdir) if os.path.isdir(cdir) else []:
             rel = os.path.join("commits", d)
-            if rel not in live:
-                shutil.rmtree(os.path.join(cdir, d))
-                out["removed_commits"].append(rel)
+            path = os.path.join(cdir, d)
+            if rel in live:
+                continue
+            try:
+                if older_than_s > 0 and os.path.getmtime(path) > cutoff:
+                    continue  # possibly an in-flight commit: keep
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(path)
+            out["removed_commits"].append(rel)
         return out
 
-    def expire_orphans(self) -> list[str]:
+    def expire_orphans(self, older_than_s: float = 0.0) -> list[str]:
         """Remove commit dirs unreferenced by the latest manifest (vacuum).
         Old manifests lose time-travel to expired commits, like Iceberg's
-        expire_snapshots."""
+        expire_snapshots.
+
+        ``older_than_s``: only remove dirs whose mtime is at least this
+        old (Iceberg remove_orphan_files' ``older_than``). With
+        CONCURRENT writers an in-flight commit's data dir exists before
+        its manifest claim, so a zero-interval vacuum racing a writer
+        could delete data about to be committed — set this to comfortably
+        more than the longest expected commit duration (e.g. 600+) when
+        writers may be live; 0 (the default) keeps the single-operator
+        semantics where the caller knows no commit is in flight."""
         m = self.manifest()
         if m is None:
             return []
@@ -1813,9 +1862,17 @@ class SnapshotTable:
         # same empty-epochs-only guard as expire_snapshots
         if not os.path.isdir(cdir):
             return removed
+        cutoff = time.time() - older_than_s
         for d in os.listdir(cdir):
             rel = os.path.join("commits", d)
-            if rel not in live:
-                shutil.rmtree(os.path.join(cdir, d))
-                removed.append(rel)
+            path = os.path.join(cdir, d)
+            if rel in live:
+                continue
+            try:
+                if older_than_s > 0 and os.path.getmtime(path) > cutoff:
+                    continue  # possibly an in-flight commit: keep
+            except FileNotFoundError:
+                continue  # a concurrent vacuum got it first
+            shutil.rmtree(path)
+            removed.append(rel)
         return removed

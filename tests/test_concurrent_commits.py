@@ -285,3 +285,39 @@ def test_concurrent_compactions_conflict_and_rerun(spark, tmp_path):
     lin = t.compact()  # re-run against fresh state converges
     assert not lin.get("skipped")
     assert _state(t) == {"a": 2.0}
+
+
+def test_vacuum_retention_interval_protects_in_flight_commits(spark, tmp_path):
+    """expire_orphans/expire_snapshots with older_than_s: a freshly
+    written (possibly in-flight) commit dir survives the sweep; a stale
+    orphan is still removed. The in-flight writer then commits fine."""
+    import os
+    import time
+
+    t = _mk(spark, tmp_path, mode="mor")
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    t.merge_reduced(_batch(spark, [("update", "a", 2, 2.0)]), "e1")
+    t.compact()  # e0/e1 delta dirs become unreferenced orphans
+    cdir = os.path.join(t.root, "commits")
+    orphans = {
+        d
+        for d in os.listdir(cdir)
+        if "compact" not in d
+    }
+    assert orphans
+    # age the real orphans; then simulate a writer mid-commit (data dir
+    # written, manifest claim not yet made): a FRESH unreferenced dir
+    old = time.time() - 10_000
+    for d in orphans:
+        os.utime(os.path.join(cdir, d), (old, old))
+    inflight = os.path.join(cdir, "c_000099_inflight_abc123")
+    os.makedirs(inflight)
+    removed = t.expire_orphans(older_than_s=600)
+    assert {os.path.basename(r) for r in removed} == orphans
+    assert os.path.isdir(inflight)  # survived the guarded sweep
+    os.rmdir(inflight)
+    # zero interval keeps the single-operator semantics (sweeps everything)
+    t.merge_reduced(_batch(spark, [("update", "a", 3, 3.0)]), "e2")
+    t.compact()
+    assert t.expire_orphans() != []
+    assert _state(t) == {"a": 3.0}
