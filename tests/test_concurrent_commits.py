@@ -321,3 +321,54 @@ def test_vacuum_retention_interval_protects_in_flight_commits(spark, tmp_path):
     t.compact()
     assert t.expire_orphans() != []
     assert _state(t) == {"a": 3.0}
+
+
+def test_three_workers_with_inline_compaction_converge(spark, tmp_path):
+    """Stress: THREE replay workers racing one table, each compacting
+    inline every 2 deltas (maybe_compact -> compact_minor, the rebase
+    path under real contention). Final state must equal a single-worker
+    replay; every epoch applies exactly once."""
+    import threading
+
+    from aws_serverless_elt_pipeline_enterprise_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from aws_serverless_elt_pipeline_enterprise_spark.streaming.replay import (
+        run_replay,
+    )
+
+    log = str(tmp_path / "log")
+    generate_changelog(
+        spark, log, ChangelogSpec(n_events=3000, n_keys=250, n_batches=5)
+    )
+    ref = SnapshotTable(spark, str(tmp_path / "ref"), n_buckets=4, mode="mor")
+    run_replay(spark, log, ref)
+    expect = {(r["doc_id"], r["n_tok"]) for r in ref.state().collect()}
+
+    root = str(tmp_path / "t")
+    errs: list[Exception] = []
+
+    def work():
+        t = SnapshotTable(spark, root, n_buckets=4, mode="mor")
+        try:
+            run_replay(spark, log, t, compact_every=2)
+        except CommitConflictError:
+            pass  # a lost maintenance race is re-runnable by contract
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=work) for _ in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+
+    t = SnapshotTable(spark, root, n_buckets=4, mode="mor")
+    assert {(r["doc_id"], r["n_tok"]) for r in t.state().collect()} == expect
+    # every log epoch in the ledger, versions contiguous
+    for e in [f"batch_{i:05d}" for i in range(5)]:
+        assert t.has_epoch(e)
+    vs = sorted(row["version"] for row in t.lineage())
+    assert vs == list(range(vs[0], vs[0] + len(vs)))  # expire may trim head
