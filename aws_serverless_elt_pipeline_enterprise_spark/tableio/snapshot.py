@@ -1780,11 +1780,21 @@ class SnapshotTable:
         it from the replay loop; it is a no-op otherwise. Defaults to
         MINOR compaction (collapse the delta chain, O(deltas)) — the full
         O(table) base rewrite is a rare scheduled job (``compact()``),
-        not an every-few-epochs policy."""
+        not an every-few-epochs policy.
+
+        A lost commit race (another worker compacted or rewrote buckets
+        concurrently) is swallowed, not raised: this is a POLICY hook —
+        the table was maintained either way, and the policy re-evaluates
+        on the next epoch. Direct ``compact()``/``compact_minor()``
+        calls still raise so a dedicated maintenance job sees the
+        conflict."""
         m = self.manifest()
         if m is None or len(m.get("global_deltas", [])) < max_deltas:
             return None
-        return self.compact_minor() if minor else self.compact()
+        try:
+            return self.compact_minor() if minor else self.compact()
+        except CommitConflictError:
+            return None
 
     def expire_snapshots(self, keep_last: int = 8, older_than_s: float = 0.0) -> dict:
         """Metadata + data retention (Iceberg ``expire_snapshots``): keep
