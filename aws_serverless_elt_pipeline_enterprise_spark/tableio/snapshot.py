@@ -1094,6 +1094,12 @@ class SnapshotTable:
                     "bucket hash is type-sensitive"
                 )
 
+        # adopt a concurrently-evolved bucket count BEFORE hashing: a
+        # rebucket committed by another handle since this one was opened
+        # would otherwise assign rows under the stale count
+        m_entry = self.manifest()
+        if m_entry is not None and "n_buckets" in m_entry:
+            self.n_buckets = int(m_entry["n_buckets"])
         batch = reduced.withColumn(self.BUCKET_COL, self.bucket_expr())
         if self.mode == "mor":
             # MOR needs no up-front bucket discovery: the delta lands next
@@ -1130,10 +1136,19 @@ class SnapshotTable:
                     "keys_considered": 0,
                     "keys_deleted": 0,
                 }
+                # commit the CURRENT schema (winner's evolution preserved);
+                # an empty batch contributes no columns of its own
+                cur_schema = (
+                    T.StructType.fromJson(json.loads(old_m["schema"]))
+                    if old_m
+                    else schema
+                )
+                if old_m is not None and "n_buckets" in old_m:
+                    self.n_buckets = int(old_m["n_buckets"])  # empty: no rows hashed
                 try:
                     self._commit_manifest(
                         lineage["version"],
-                        schema if old_schema is None else old_schema,
+                        cur_schema,
                         dict(old_m["buckets"]) if old_m else {},
                         ledger,
                         lineage,
@@ -1307,6 +1322,13 @@ class SnapshotTable:
                         f"this COW merge's read set (buckets {affected}); "
                         "the epoch is uncommitted — re-run the merge"
                     )
+            # re-unify against the winner's schema: a rebase-eligible
+            # intervening commit (e.g. a schema-evolving EMPTY epoch)
+            # must not have its evolution dropped by our pre-race schema
+            if old_m is not None:
+                schema = unify_schemas(
+                    T.StructType.fromJson(json.loads(old_m["schema"])), schema
+                )
             buckets_map = (
                 {k: list(v) for k, v in old_m["buckets"].items()} if old_m else {}
             )
@@ -1417,6 +1439,27 @@ class SnapshotTable:
                 shutil.rmtree(commit_abs, ignore_errors=True)
                 return {"epoch_id": epoch_id, "skipped": True}
             committed.add(epoch_id)
+            if old_m is not None and int(old_m["n_buckets"]) != self.n_buckets:
+                # a concurrent rebucket changed the hash function: adopt
+                # the evolved count. An EMPTY epoch commits no data and
+                # can proceed; a real delta's _bucket values were
+                # computed under the OLD count, so rebasing would poison
+                # bucket pruning — make the caller re-run the merge
+                # (rows re-hash on the retry).
+                self.n_buckets = int(old_m["n_buckets"])
+                if not empty:
+                    shutil.rmtree(commit_abs, ignore_errors=True)
+                    raise CommitConflictError(
+                        f"epoch {epoch_id!r}: the table was rebucketted "
+                        "concurrently — re-run the merge"
+                    )
+            # re-unify against the WINNER's schema: rebasing with the
+            # pre-race schema would silently drop a concurrent commit's
+            # schema evolution (its columns vanish from the read schema)
+            if old_m is not None:
+                schema = unify_schemas(
+                    T.StructType.fromJson(json.loads(old_m["schema"])), schema
+                )
             buckets_map = (
                 {k: list(v) for k, v in old_m["buckets"].items()} if old_m else {}
             )
@@ -1567,6 +1610,21 @@ class SnapshotTable:
                     f"{lineage_base.get('epoch_id')}: a concurrent commit "
                     "rewrote buckets during this maintenance op — re-run it"
                 )
+            if not folded <= set(old_m.get("global_deltas", [])):
+                # someone else already folded (part of) our input chain —
+                # e.g. a concurrent minor compaction. Rebasing would stack
+                # a duplicate merged span, or worse: a purge compaction
+                # would commit on top of a merged delta that still carries
+                # the tombstones it just reported purging (silent GDPR
+                # resurrection). The op must re-run against fresh state.
+                raise CommitConflictError(
+                    f"{lineage_base.get('epoch_id')}: a concurrent "
+                    "compaction folded this op's input deltas — re-run it"
+                )
+            # winner's schema evolution survives the rebase
+            out_schema = unify_schemas(
+                T.StructType.fromJson(json.loads(old_m["schema"])), schema
+            )
             survivors = [
                 d for d in old_m.get("global_deltas", []) if d not in folded
             ]
@@ -1576,7 +1634,7 @@ class SnapshotTable:
             lineage = dict(lineage_base, version=old_m["version"] + 1)
             try:
                 self._commit_manifest(
-                    lineage["version"], schema, buckets_map,
+                    lineage["version"], out_schema, buckets_map,
                     # ledger from the SAME snapshot as version/chain (a
                     # separate read could straddle a concurrent commit
                     # and drop its epoch from the new manifest)
@@ -1810,19 +1868,44 @@ class SnapshotTable:
         in-flight writer (its data dir exists before the manifest claim):
         pass ``older_than_s`` greater than the longest expected commit
         duration when writers may be live — Iceberg's
-        remove_orphan_files retention interval."""
+        remove_orphan_files retention interval. ``older_than_s`` also
+        guards MANIFEST removal (a manifest file doubles as the
+        exclusive version-claim marker: deleting a version a stalled
+        writer is about to claim would let the stale claim SUCCEED and
+        silently strand its epoch — a writer stalled longer than the
+        retention interval is outside the contract, as in Iceberg)."""
         cur = self.current_version()
         out = {"removed_manifests": [], "removed_commits": []}
         if cur is None:
             return out
+        # heal the LATEST hint first: a lost pointer race can leave it
+        # below cur, and trimming manifests in the gap ABOVE a stale hint
+        # would break current_version()'s contiguous forward probe
+        try:
+            with open(self._latest_path()) as f:
+                hint = int(f.read().strip().lstrip("v"))
+        except FileNotFoundError:
+            hint = -1
+        if hint < cur:
+            ltmp = self._latest_path() + f".tmp{uuid.uuid4().hex[:6]}"
+            with open(ltmp, "w") as f:
+                f.write(f"v{cur:06d}")
+            os.replace(ltmp, self._latest_path())
         horizon = cur - max(1, keep_last) + 1
         mdir = os.path.join(self.root, "manifests")
+        mcutoff = time.time() - older_than_s
         live: set[str] = set()
         for name in sorted(os.listdir(mdir)):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
             v = int(name[1:-5])
-            if v >= horizon:
+            keep = v >= horizon
+            if not keep and older_than_s > 0:
+                try:
+                    keep = os.path.getmtime(os.path.join(mdir, name)) > mcutoff
+                except FileNotFoundError:
+                    continue
+            if keep:
                 m = self.manifest(v)
                 live |= {d for dirs in m["buckets"].values() for d in dirs}
                 live |= set(m.get("global_deltas", []))

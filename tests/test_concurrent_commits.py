@@ -372,3 +372,105 @@ def test_three_workers_with_inline_compaction_converge(spark, tmp_path):
         assert t.has_epoch(e)
     vs = sorted(row["version"] for row in t.lineage())
     assert vs == list(range(vs[0], vs[0] + len(vs)))  # expire may trim head
+
+
+# ---- rebase-validation fixes (round-5 self-review findings) ----
+
+
+def test_mor_append_conflicts_with_concurrent_rebucket(spark, tmp_path):
+    """A MOR delta hashed under the old bucket count must NOT rebase over
+    a winning rebucket (its _bucket values would poison pruning): the
+    merge raises, adopts the new count, and the re-run lands correctly."""
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="mor")
+    _interpose(t, lambda: twin.rebucket(16))
+    with pytest.raises(CommitConflictError, match="rebucketted"):
+        t.merge_reduced(_batch(spark, [("insert", "b", 2, 2.0)]), "e1")
+    assert t.n_buckets == 16  # adopted the evolved count
+    assert not t.has_epoch("e1")
+    lin = t.merge_reduced(_batch(spark, [("insert", "b", 2, 2.0)]), "e1")
+    assert not lin.get("skipped")
+    assert _state(t) == {"a": 1.0, "b": 2.0}
+    # the probe hashes with the new count and still lands
+    assert [r["v"] for r in t.lookup(["b"]).collect()] == [2.0]
+
+
+def test_schema_evolution_survives_rebase(spark, tmp_path):
+    """A loser rebasing over a schema-evolving winner must commit the
+    UNIFIED schema — the winner's new column stays readable."""
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="mor")
+    wide = spark.createDataFrame(
+        [("insert", "w1", 2, 2.0, 42)],
+        "op string, doc_id string, seq long, v double, extra long",
+    )
+    _interpose(t, lambda: twin.merge_reduced(wide, "twin-0"))
+    t.merge_reduced(_batch(spark, [("insert", "c", 3, 3.0)]), "e1")
+    # the rebased manifest's schema kept the winner's new column...
+    assert "extra" in [f.name for f in t.schema().fields]
+    # ...and its stored value is still visible
+    rows = {r["doc_id"]: r["extra"] for r in t.state().collect()}
+    assert rows == {"a": None, "w1": 42, "c": None}
+
+
+def test_purge_compaction_conflicts_with_concurrent_minor(spark, tmp_path):
+    """compact(purge_tombstones_below_seq=) losing to a concurrent minor
+    compaction must RAISE, not rebase: the minor's merged delta still
+    carries the tombstones the purge claims to remove (GDPR physical
+    erasure would silently fail)."""
+    t = _mk(spark, tmp_path)
+    t.merge_reduced(_batch(spark, [("insert", "a", 1, 1.0)]), "e0")
+    t.merge_reduced(_batch(spark, [("delete", "a", 2, 0.0)]), "e1")
+    t.merge_reduced(_batch(spark, [("insert", "b", 3, 3.0)]), "e2")
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="mor")
+    _interpose(t, lambda: twin.compact_minor())
+    with pytest.raises(CommitConflictError, match="folded"):
+        t.compact(purge_tombstones_below_seq=10)
+    # re-run against fresh state: tombstone physically gone
+    t.compact(purge_tombstones_below_seq=10)
+    raw = t.read(resolve=False)
+    assert raw.filter("doc_id = 'a'").count() == 0
+    assert _state(t) == {"b": 3.0}
+
+
+def test_concurrent_minor_compactions_do_not_stack(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for i, (k, v) in enumerate([("a", 1.0), ("b", 2.0), ("c", 3.0)]):
+        t.merge_reduced(_batch(spark, [("insert", k, i + 1, v)]), f"e{i}")
+    twin = SnapshotTable(spark, t.root, key_col="doc_id", n_buckets=4, mode="mor")
+    _interpose(t, lambda: twin.compact_minor())
+    with pytest.raises(CommitConflictError, match="folded"):
+        t.compact_minor()
+    # exactly ONE merged delta in the chain — no duplicate span
+    assert len(t.manifest()["global_deltas"]) == 1
+    assert _state(t) == {"a": 1.0, "b": 2.0, "c": 3.0}
+
+
+def test_expire_snapshots_heals_latest_and_guards_claim_markers(spark, tmp_path):
+    import os
+    import time
+
+    t = _mk(spark, tmp_path)
+    for i in range(12):
+        t.merge_reduced(
+            _batch(spark, [("insert", f"k{i}", i + 1, float(i))]), f"e{i}"
+        )
+    cur = t.current_version()
+    # regress the LATEST hint (lost pointer race), then expire: the heal
+    # must run BEFORE trimming, or the probe chain above the hint breaks
+    with open(t._latest_path(), "w") as f:
+        f.write("v000001")
+    t.expire_snapshots(keep_last=4)
+    assert t.current_version() == cur
+    assert t.manifest() is not None  # head manifest readable
+    assert len(_state(t)) == 12
+    # manifest retention: a fresh below-horizon manifest (a claim marker
+    # a stalled writer may still target) survives when older_than_s is set
+    t.merge_reduced(_batch(spark, [("insert", "z", 99, 9.0)]), "ez")
+    mdir = os.path.join(t.root, "manifests")
+    kept_before = set(os.listdir(mdir))
+    out = t.expire_snapshots(keep_last=1, older_than_s=3600)
+    assert out["removed_manifests"] == []  # all markers younger than 1h
+    assert set(os.listdir(mdir)) == kept_before
