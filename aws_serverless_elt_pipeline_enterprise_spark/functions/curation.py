@@ -225,11 +225,18 @@ def stratified_sample(
     for s, r in sorted(rates.items()):
         rate = F.when(F.col(strat) == s, F.lit(float(r))).otherwise(rate)
 
+    # pmod, NOT %: Spark's % keeps the dividend's sign, so a signed
+    # xxhash64 would put u in (-1, 1) and every negative-hash row would
+    # pass the fractional-keep test unconditionally (measured: rate 0.25
+    # kept 62% under %). The portable mode's md5-derived hash is already
+    # non-negative, so its samples are unchanged.
     u = (
-        _hash64(
-            F.concat(F.col(key).cast("string"), F.lit(":" + salt)), hash_mode
+        F.pmod(
+            _hash64(
+                F.concat(F.col(key).cast("string"), F.lit(":" + salt)), hash_mode
+            ),
+            F.lit(SAMPLE_BUCKETS),
         )
-        % SAMPLE_BUCKETS
     ).cast("double") / SAMPLE_BUCKETS
     n_copies = (
         F.floor(rate) + F.when(u < rate - F.floor(rate), 1).otherwise(0)

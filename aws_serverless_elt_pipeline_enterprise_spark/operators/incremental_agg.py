@@ -125,9 +125,9 @@ class MaterializedAggregate:
     def _ledger_fastforward(self, bookmark: int | None) -> int | None:
         return self._bm.fastforward(bookmark)
 
-    def _accumulators(self, src, sign: F.Column | None) -> list[F.Column]:
-        """Per-group accumulator aggregates; ``sign=None`` for the full
-        rebuild (every row contributes +1)."""
+    def _accumulators(self, sign: F.Column | None) -> list[F.Column]:
+        """Per-group accumulator aggregates (pure column expressions);
+        ``sign=None`` for the full rebuild (every row contributes +1)."""
         s = sign if sign is not None else F.lit(1)
         out = [F.sum(s).cast("long").alias("__cnt")]
         for name, col in self.sums.items():
@@ -155,7 +155,7 @@ class MaterializedAggregate:
             state.groupBy(
                 self._group_key().alias("_group_key"), *self.group_cols
             )
-            .agg(*self._accumulators(state, None))
+            .agg(*self._accumulators(None))
             .withColumn("op", F.lit("update"))
             .withColumn("seq", F.lit(to_version).cast("long"))
         )
@@ -224,7 +224,7 @@ class MaterializedAggregate:
         )
         delta = changes.groupBy(
             self._group_key().alias("_group_key"), *self.group_cols
-        ).agg(*self._accumulators(changes, sign))
+        ).agg(*self._accumulators(sign))
         # A key updated WITHIN the span but landing in the same group
         # with the same contribution nets to zero — dropping those rows
         # keeps the merge (and the touched-bucket set) minimal.
@@ -240,12 +240,13 @@ class MaterializedAggregate:
 
         # Read ONLY the agg buckets containing touched groups. The
         # collect is bounded by n_buckets values, not by group count.
-        bexpr = F.pmod(
-            F.xxhash64(F.col("_group_key")), F.lit(self.agg.n_buckets)
-        ).cast("int")
+        # bucket_expr is the table's own hash — the single source of
+        # truth for its bucketing contract.
         touched = [
             r[0]
-            for r in delta.select(bexpr.alias("b")).distinct().collect()
+            for r in delta.select(
+                self.agg.bucket_expr().alias("b")
+            ).distinct().collect()
         ]
         if self.agg.current_version() is not None and touched:
             old = (

@@ -81,7 +81,19 @@ class SecondaryIndex:
         With ``ops``, change rows become add/remove ops and same-entry
         collisions within the span resolve add-wins."""
         val = _enc(F.col(self.column))
-        key = F.concat_ws(_SEP, val, F.col(self.source.key_col).cast("string"))
+        # LENGTH-PREFIXED key, not a bare separator join: indexed values
+        # are arbitrary user data, and a value containing the separator
+        # would alias two distinct (value, doc) pairs onto one _idx_key
+        # with different _idx_val — violating the bucket_col
+        # never-changes invariant (lost/duplicate index entries). With
+        # the length prefix the decomposition is unique: equal keys ->
+        # equal-length values -> equal (value, doc).
+        key = F.concat(
+            F.length(val).cast("string"),
+            F.lit(":"),
+            val,
+            F.col(self.source.key_col).cast("string"),
+        )
         base = rows.select(
             key.alias("_idx_key"),
             val.alias("_idx_val"),

@@ -119,11 +119,32 @@ class IcebergTable:
         return self.spark.catalog.tableExists(self.ident)
 
     def state(self) -> DataFrame:
+        # NULL-safe tombstone filter: rows that predate the _deleted
+        # column (pre-migration tables backfilled by _ensure_columns)
+        # carry NULL and are live, not filtered
         return (
             self.spark.table(self.ident)
-            .filter(~F.col(DEL_COL))
+            .filter(~F.coalesce(F.col(DEL_COL), F.lit(False)))
             .drop(SEQ_COL, DEL_COL)
         )
+
+    def _ensure_columns(self) -> None:
+        """Migration for tables created by earlier engine versions (or
+        externally) without the internal ``_seq``/``_deleted`` columns:
+        ADD COLUMNS is a metadata-only Iceberg operation; existing rows
+        read NULL, which the merge guard and state() treat as 'no
+        watermark' / 'live' respectively."""
+        have = {f.name for f in self.spark.table(self.ident).schema.fields}
+        missing = []
+        if SEQ_COL not in have:
+            missing.append(f"`{SEQ_COL}` BIGINT")
+        if DEL_COL not in have:
+            missing.append(f"`{DEL_COL}` BOOLEAN")
+        if missing:
+            self.spark.sql(
+                f"ALTER TABLE {_q(self.ident)} ADD COLUMNS"
+                f" ({', '.join(missing)})"
+            )
 
     # -- merge -------------------------------------------------------
     def _reduce(self, batch: DataFrame) -> DataFrame:
@@ -174,6 +195,8 @@ class IcebergTable:
                 f" `{SEQ_COL}` BIGINT, `{DEL_COL}` BOOLEAN)"
                 f" USING iceberg"
             )
+        else:
+            self._ensure_columns()
         reduced.createOrReplaceTempView("__merge_batch")
         # deletes are soft (the UPDATE arm sets the tombstone flag) and
         # delete-of-unseen-key INSERTS a tombstone row — both keep the
@@ -202,7 +225,7 @@ class IcebergTable:
             MERGE INTO {_q(self.ident)} t
             USING __merge_batch b
             ON t.`{self.key_col}` = b.`{self.key_col}`
-            WHEN MATCHED AND b.seq > t.`{SEQ_COL}`
+            WHEN MATCHED AND b.seq > COALESCE(t.`{SEQ_COL}`, -1)
               THEN UPDATE SET {set_clause}
             WHEN NOT MATCHED
               THEN INSERT ({ins_cols}) VALUES ({ins_vals})

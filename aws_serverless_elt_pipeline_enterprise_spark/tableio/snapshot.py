@@ -253,6 +253,18 @@ def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+def _du_parquet(path: str) -> int:
+    """Total parquet bytes under a dir (one os.walk of THAT dir only)."""
+    total = 0
+    for dp, _dn, fn in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(dp, f))
+            for f in fn
+            if f.endswith(".parquet")
+        )
+    return total
+
+
 def _partition_rows(commit_abs: str, cap: int = 4096) -> dict:
     """Per-output-partition row counts read from parquet FOOTERS only (no
     data scan, no extra Spark job) — the north-rule's per-partition
@@ -673,6 +685,11 @@ class SnapshotTable:
             m_from = None
         if v_from is not None and m_from is None:
             raise ValueError(f"version {v_from!r} not found (expired?)")
+        if v_from is not None and v_from > v_to:
+            # a reversed span would silently report the diff backwards
+            # (inserts as deletes) — e.g. a consumer bookmark that
+            # outlived a table reset, or swapped arguments
+            raise ValueError(f"v_from {v_from} > v_to {v_to}")
         schema = T.StructType.fromJson(json.loads(m_to["schema"]))
         payload = [
             f.name
@@ -706,16 +723,17 @@ class SnapshotTable:
             narrow_ok = m_from is not None and fb == tb and narrow != "off"
             added_bytes = 0
             if narrow_ok:
+                # per-dir sizes come from the manifest (recorded once at
+                # commit time): the gate is O(dirs) dict lookups, not an
+                # O(table files) driver-side walk per incremental diff.
+                # The walk remains only as a fallback for manifests
+                # written before dir_bytes existed.
+                recorded = m_to.get("dir_bytes", {})
 
                 def _dir_bytes(rel: str) -> int:
-                    total = 0
-                    for dp, _dn, fn in os.walk(os.path.join(self.root, rel)):
-                        total += sum(
-                            os.path.getsize(os.path.join(dp, f))
-                            for f in fn
-                            if f.endswith(".parquet")
-                        )
-                    return total
+                    if rel in recorded:
+                        return int(recorded[rel])
+                    return _du_parquet(os.path.join(self.root, rel))
 
                 added_bytes = sum(_dir_bytes(d) for d in added_g)
                 if narrow != "on":
@@ -777,8 +795,14 @@ class SnapshotTable:
             j = side(empty, "a").join(side(empty, "b"), "__k", "full")
         else:
             bs = sorted(cand)
+            # the BEFORE side reads under v_from's (possibly narrower)
+            # schema: conform to v_to's so columns added by evolution
+            # inside the span resolve as NULL instead of crashing side()
             before = (
-                self.read(v_from, buckets=bs, key_semi=delta_keys)
+                conform(
+                    self.read(v_from, buckets=bs, key_semi=delta_keys),
+                    self._data_schema(schema),
+                )
                 if m_from
                 else empty
             )
@@ -919,36 +943,34 @@ class SnapshotTable:
     def delete_keys(self, keys: list, epoch_id: str) -> dict:
         """Right-to-be-forgotten by KEY — the common GDPR request shape
         ("erase user X"): like ``delete_where(key IN ...)`` but
-        BUCKET-PRUNED, reading only the probed keys' hash buckets
-        (O(|keys| buckets out of n_buckets), never a full table scan;
-        files-read-asserted in tests). The tombstone seq is one above
-        the probed rows' max — sufficient, because the tombstone only
-        has to outrank STORED rows; a genuinely later event for the key
-        rightfully starts a new life for it (same semantics as
-        ``delete_where``). Value-clustered tables (bucket_col !=
-        key_col) fall back to the full scan, like ``lookup``."""
+        BUCKET-PRUNED for the ROW read: only the probed keys' hash
+        buckets are scanned for the rows to tombstone (O(|keys| buckets
+        out of n_buckets); files-read-asserted in tests). The tombstone
+        seq is the TABLE-GLOBAL ``_next_seq()`` — the same watermark
+        ``delete_where`` uses — NOT the probed keys' max: a late-
+        replayed event that logically preceded the erasure (seq above
+        the key's stored max but below the table's) must lose to the
+        tombstone, or erased PII resurrects on replay. The global seq
+        probe is a raw unresolved scan of ONLY the ``_seq`` column
+        (column-pruned parquet footers + one max), cheap next to the
+        row read. Value-clustered tables (bucket_col != key_col) fall
+        back to the full row scan, like ``lookup``."""
         epoch_id = str(epoch_id)
         if self.has_epoch(epoch_id):
             return {"epoch_id": epoch_id, "skipped": True}
         buckets = (
             self.buckets_for(keys) if self.bucket_col == self.key_col else None
         )
-        live = (
+        seq = self._next_seq()
+        rows = (
             self.read(buckets=buckets)
             .filter(F.col(self.key_col).isin(*keys))
             .filter(~F.coalesce(F.col(self.DEL_COL), F.lit(False)))
-            .persist()  # feeds two actions: the seq probe and the merge
+            .drop(self.SEQ_COL, self.DEL_COL, self.BUCKET_COL)
+            .withColumn("op", F.lit("delete"))
+            .withColumn("seq", F.lit(seq).cast("long"))
         )
-        try:
-            hi = live.agg(F.max(self.SEQ_COL)).first()[0]
-            rows = (
-                live.drop(self.SEQ_COL, self.DEL_COL, self.BUCKET_COL)
-                .withColumn("op", F.lit("delete"))
-                .withColumn("seq", F.lit((hi or 0) + 1).cast("long"))
-            )
-            return self.merge_reduced(rows, epoch_id)
-        finally:
-            live.unpersist()
+        return self.merge_reduced(rows, epoch_id)
 
     def update_where(self, condition, assignments: dict, epoch_id: str) -> dict:
         """Bulk row-level UPDATE (Delta ``UPDATE t SET ... WHERE ...``):
@@ -1526,6 +1548,15 @@ class SnapshotTable:
         }
         if new_dir is not None:
             kinds[new_dir] = new_dir_kind
+        # per-dir parquet byte sizes, carried forward for live dirs and
+        # measured ONCE for the new dir (O(epoch) at commit time): the
+        # CDF 'auto' narrowing gate needs table_bytes, and walking every
+        # commit dir per diff would be O(table files) on the driver for
+        # every incremental refresh
+        old_db = old_m.get("dir_bytes", {}) if old_m else {}
+        dir_bytes = {d: old_db[d] for d in live if d in old_db}
+        if new_dir is not None and new_dir not in dir_bytes:
+            dir_bytes[new_dir] = _du_parquet(os.path.join(self.root, new_dir))
         # monotone-corrected commit timestamp: a later version never
         # carries an earlier ts even under clock skew / sub-ms commits,
         # so version order == timestamp order and version_at() is exact
@@ -1540,6 +1571,7 @@ class SnapshotTable:
             "buckets": buckets_map,
             "global_deltas": global_deltas,
             "dir_kinds": kinds,
+            "dir_bytes": dir_bytes,
             "committed_epochs": (
                 committed.to_json()
                 if isinstance(committed, EpochLedger)
@@ -1748,46 +1780,50 @@ class SnapshotTable:
         df = self.read(version=m["version"])
         old_n = self.n_buckets
         self.n_buckets = int(n_buckets)
-        df = df.drop(self.BUCKET_COL).withColumn(
-            self.BUCKET_COL, self.bucket_expr()
-        )
-        # a rebucket changes the hash function itself, so ANY concurrent
-        # commit invalidates it: the claim targets exactly m.version + 1,
-        # so an intervening commit forces CommitConflictError and the op
-        # must be re-run (stop-the-world by design; appenders can keep
-        # running and simply win the race)
-        version = m["version"] + 1
-        commit_rel = os.path.join(
-            "commits", f"c_{version:06d}_rebucket_{uuid.uuid4().hex[:6]}"
-        )
-        commit_abs = os.path.join(self.root, commit_rel)
-        out = df.repartition(self.n_buckets, F.col(self.BUCKET_COL))
-        if sort_within_buckets:
-            out = out.sortWithinPartitions(self.BUCKET_COL, self.key_col)
-        (
-            out.write.mode("overwrite")
-            .partitionBy(self.BUCKET_COL)
-            .parquet(commit_abs)
-        )
-        buckets_map = {
-            d.split("=", 1)[1]: [commit_rel]
-            for d in os.listdir(commit_abs)
-            if d.startswith(f"{self.BUCKET_COL}=")
-        }
-        lineage = {
-            "epoch_id": "__rebucket",
-            "version": version,
-            "rebucket": {"from": old_n, "to": self.n_buckets},
-        }
         try:
+            df = df.drop(self.BUCKET_COL).withColumn(
+                self.BUCKET_COL, self.bucket_expr()
+            )
+            # a rebucket changes the hash function itself, so ANY
+            # concurrent commit invalidates it: the claim targets exactly
+            # m.version + 1, so an intervening commit forces
+            # CommitConflictError and the op must be re-run (stop-the-
+            # world by design; appenders can keep running and simply win
+            # the race)
+            version = m["version"] + 1
+            commit_rel = os.path.join(
+                "commits", f"c_{version:06d}_rebucket_{uuid.uuid4().hex[:6]}"
+            )
+            commit_abs = os.path.join(self.root, commit_rel)
+            out = df.repartition(self.n_buckets, F.col(self.BUCKET_COL))
+            if sort_within_buckets:
+                out = out.sortWithinPartitions(self.BUCKET_COL, self.key_col)
+            (
+                out.write.mode("overwrite")
+                .partitionBy(self.BUCKET_COL)
+                .parquet(commit_abs)
+            )
+            buckets_map = {
+                d.split("=", 1)[1]: [commit_rel]
+                for d in os.listdir(commit_abs)
+                if d.startswith(f"{self.BUCKET_COL}=")
+            }
+            lineage = {
+                "epoch_id": "__rebucket",
+                "version": version,
+                "rebucket": {"from": old_n, "to": self.n_buckets},
+            }
             self._commit_manifest(
                 version, schema, buckets_map,
                 EpochLedger(m["committed_epochs"]), lineage,
                 new_dir=commit_rel, new_dir_kind="base", global_deltas=[],
             )
-        except CommitConflictError:
-            # the table on disk still has the old count: keep the handle
-            # consistent with it before propagating
+        except BaseException:
+            # ANY failure before the manifest claim lands (write error,
+            # version conflict, interrupt) leaves the on-disk table at
+            # the OLD count: keep the handle consistent with it, or every
+            # later merge on this handle would hash rows under the new
+            # count and COW would miss stored rows (duplicate live rows)
             self.n_buckets = old_n
             raise
         return lineage
