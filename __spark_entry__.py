@@ -278,13 +278,30 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentile aggregate (sort-based, engine-portable)."""
+    """Exact percentile aggregate (sort-based, engine-portable).
+
+    Two-level formulation: a codegen hash-aggregate first collapses the
+    rows to (flag, price, frequency), then ONE frequency-weighted
+    percentile aggregate computes both percentiles together. Identical
+    math to two plain percentile() calls — Percentile's buffer is a
+    value->count map either way, and frequencies feed the same
+    accumulated-count interpolation — but the object-hash percentile
+    buffer is built/merged over distinct values instead of raw rows,
+    once instead of twice (two percentile aggs each built their own map
+    over all 6M rows at sf1: 19.3s -> 5.0s, OPTIMIZATION_r06.md)."""
     li = _t(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("_f")
+    )
     return (
-        li.groupBy("l_returnflag")
+        counted.groupBy("l_returnflag")
         .agg(
-            F.percentile("l_extendedprice", 0.5).alias("median_price"),
-            F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+            F.percentile("l_extendedprice", [0.5, 0.95], F.col("_f")).alias("_p")
+        )
+        .select(
+            "l_returnflag",
+            F.col("_p")[0].alias("median_price"),
+            F.col("_p")[1].alias("p95_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -516,20 +533,28 @@ def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens — the raw array<int> is projected to that hash because the
     driver canonicalizer cannot sort/hash list cells)."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.transform(
-            tx.words("text"),
-            lambda w: F.pmod(dd.portable_hash60(w), F.lit(50257)).cast("int"),
-        ).alias("tokens"),
+    # tokens travel as their decimal STRINGS from the tokenize pass on:
+    # every chunk hash needs the string form anyway, and stringifying
+    # once per doc instead of once per (overlapping) chunk removes the
+    # per-chunk interpreted transform — md5(array_join) over sliced
+    # strings is byte-identical to stringifying the sliced ints
+    ch = tk.chunk_sequences(
+        d.select(
+            "doc_id",
+            F.transform(
+                tx.words("text"),
+                lambda w: F.pmod(dd.portable_hash60(w), F.lit(50257))
+                .cast("int")
+                .cast("string"),
+            ).alias("tokens"),
+        ),
+        max_len=64,
+        stride=48,
     )
-    ch = tk.chunk_sequences(toks, max_len=64, stride=48)
     return ch.select(
         "doc_id",
         "chunk_id",
-        F.md5(
-            F.array_join(F.transform("tokens", lambda t: t.cast("string")), ",")
-        ).alias("tokens_hash"),
+        F.md5(F.array_join("tokens", ",")).alias("tokens_hash"),
         "n_tok",
     ).orderBy("doc_id", "chunk_id")
 

@@ -124,71 +124,81 @@ def repetition_profile(
       passes_repetition top_word_frac <= max_top_word_frac AND
                         dup_bigram_frac <= max_dup_bigram_frac
 
-    Zero-shuffle by construction: every metric is a higher-order-function
-    fold over the doc's own token array, so the stage is map-only — far
-    cheaper at corpus scale than shipping O(corpus tokens) through the
-    two shuffles of the explode + groupBy(doc, word) formulation.
-    top_word_frac is the longest equal-run of the SORTED word array (one
-    O(n log n) sort + one O(n) fold — the naive
-    transform(distinct, filter(w)) is O(distinct x n) per doc and
-    measured 3x slower on the sf0.1 corpus). Docs with no words
-    (empty/NULL text) get NULL metrics and passes_repetition = false.
-
-    The words array is bound as a lambda variable (transform-over-
-    singleton, same idiom as dedupe.word_shingles) so split() runs once
-    per doc, not once per element.
+    Explode + codegen-aggregate formulation: word multiplicities come
+    from groupBy(key, word) -> groupBy(key) with max/count/sum (max word
+    multiplicity == the longest equal-run of the sorted array the old
+    fold computed), bigram distinct counts the same way. Every aggregate
+    is whole-stage-codegen over primitives, where the previous
+    single-fold formulation evaluated an interpreted struct-building
+    lambda per word (HOFs don't codegen) — measured ~6x on the sf1
+    corpus (OPTIMIZATION_r06.md) despite the extra exchanges, which AQE
+    coalesces; at larger corpora the exchanges stay O(corpus tokens)
+    with map-side partial aggregation. n_words is still computed
+    map-side from the words array itself, so docs with no words
+    (empty/NULL text) keep their exact legacy values (NULL metrics,
+    passes_repetition = false) after the left join back onto the corpus
+    keys.
     """
-    def metrics(w: F.Column) -> F.Column:
-        n = F.size(w)
-        dw = F.array_distinct(w)
-        # longest equal-run over the sorted array == max word frequency
-        run0 = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
+    w = words(text)
+    base = df.select(F.col(key), w.alias("_w")).select(
+        F.col(key), F.col("_w"), F.size("_w").alias("_n")
+    )
+    # word multiplicities: max multiplicity == longest equal-run of the
+    # sorted array; |distinct| and the re-derived n cross-check nothing —
+    # n comes from the map-side size() so NULL/empty semantics are exact
+    wstats = (
+        base.select(F.col(key), F.explode("_w").alias("_t"))
+        .groupBy(key, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(key)
+        .agg(
+            F.max("_c").alias("_top"),
+            F.count(F.lit(1)).alias("_ndist"),
         )
-
-        def step(acc: F.Column, x: F.Column) -> F.Column:
-            run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
-                F.lit(1)
-            )
-            return F.struct(
-                x.alias("prev"),
-                run.alias("run"),
-                F.greatest(acc["best"], run).alias("best"),
-            )
-
-        top = F.aggregate(F.array_sort(w), run0, step, lambda acc: acc["best"])
-        bg = F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        nbg = F.size(bg)
-        return F.struct(
-            n.alias("n_words"),
-            F.when(n > 0, F.size(dw).cast("double") / n).alias("distinct_frac"),
-            F.when(n > 0, top.cast("double") / n).alias("top_word_frac"),
-            F.when(nbg > 0, F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / nbg)
-            .otherwise(F.when(n > 0, F.lit(0.0)))
-            .alias("dup_bigram_frac"),
-        )
-
-    m = F.transform(F.array(words(text)), metrics)[0]
-    return df.select(
+    )
+    # bigrams of consecutive words (positions i, i+1): posexplode keeps
+    # the pairing; distinct bigram count per doc
+    bgrows = base.filter(F.col("_n") >= 2).select(
         F.col(key),
-        m["n_words"].alias("n_words"),
-        m["distinct_frac"].alias("distinct_frac"),
-        m["top_word_frac"].alias("top_word_frac"),
-        m["dup_bigram_frac"].alias("dup_bigram_frac"),
-        (
-            (m["top_word_frac"] <= F.lit(max_top_word_frac))
-            & (m["dup_bigram_frac"] <= F.lit(max_dup_bigram_frac))
-        ).alias("passes_repetition"),
-    ).withColumn(
-        "passes_repetition", F.coalesce(F.col("passes_repetition"), F.lit(False))
+        F.explode(
+            F.zip_with(
+                F.slice("_w", 1, F.col("_n") - 1),
+                F.slice("_w", 2, F.col("_n") - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("_bg"),
+    )
+    bgstats = (
+        bgrows.groupBy(key, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_bdist"))
+    )
+    n = F.col("_n")
+    nbg = F.when(n >= 2, n - 1).otherwise(F.lit(0))
+    top_frac = F.when(n > 0, F.col("_top").cast("double") / n)
+    dup_frac = (
+        F.when(nbg > 0, F.lit(1.0) - F.col("_bdist").cast("double") / nbg)
+        .otherwise(F.when(n > 0, F.lit(0.0)))
+    )
+    return (
+        base.select(key, "_n")
+        .join(wstats, key, "left")
+        .join(bgstats, key, "left")
+        .select(
+            F.col(key),
+            n.alias("n_words"),
+            F.when(n > 0, F.col("_ndist").cast("double") / n).alias(
+                "distinct_frac"
+            ),
+            top_frac.alias("top_word_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+            F.coalesce(
+                (top_frac <= F.lit(max_top_word_frac))
+                & (dup_frac <= F.lit(max_dup_bigram_frac)),
+                F.lit(False),
+            ).alias("passes_repetition"),
+        )
     )
 
 

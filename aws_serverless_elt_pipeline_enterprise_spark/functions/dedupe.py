@@ -166,20 +166,20 @@ def _pairs_from_shingle_rows(
             .groupBy(key)
             .agg(F.count(F.lit(1)).alias("n_sh"))
         )
-        docs = F.array_sort("docs")
-        pair_structs = F.flatten(
-            F.transform(
-                docs,
-                lambda x, i: F.transform(
-                    F.slice(docs, i + 2, F.size(docs)),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        )
+        # pair expansion stays MAP-SIDE (no extra exchange) but runs as
+        # two chained posexplode GENERATORS + a position filter instead
+        # of the nested transform/flatten lambda: generators re-walk the
+        # same backing array with codegen, where the transform built
+        # C(m,2) structs (and per-element array slices) interpreted —
+        # measured 2.3x on the 71M-pair sf1 expansion
+        # (OPTIMIZATION_r06.md). Emission order per posting is identical
+        # (sorted docs, j > i => a < b).
         overlap = (
             posts.filter(F.size("docs") >= 2)
-            .select(F.explode(pair_structs).alias("p"))
-            .select("p.a", "p.b")
+            .select(F.array_sort("docs").alias("_d"))
+            .select("_d", F.posexplode("_d").alias("_i", "a"))
+            .select("a", "_i", F.posexplode("_d").alias("_j", "b"))
+            .filter(F.col("_j") > F.col("_i"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("inter"))
         )
@@ -286,10 +286,36 @@ def _sigs_from_shingled(
     shingled: DataFrame, key: str, shcol: str, k: int, seed: int, hash_mode: str
 ) -> DataFrame:
     """Signatures from a frame that already carries the shingle array —
-    the ``dedup_pipeline`` entry point (shared tokenization)."""
-    base = shingled.filter(F.size(shcol) > 0)
-    return base.select(
-        F.col(key), _minhash_sig(F.col(shcol), k, seed, hash_mode).alias("sig")
+    the ``dedup_pipeline`` entry point (shared tokenization).
+
+    Computed as explode + k codegen ``min`` aggregates rather than the
+    single-fold array walk (``_minhash_sig``): higher-order functions
+    evaluate INTERPRETED per element, so the fold pays ~k boxed lambda
+    evaluations per shingle, while ``min(pmod(x*a_i+b_i, p))`` is
+    whole-stage-codegen over primitive longs. Same values exactly — both
+    compute min over the identical (a_i*x+b_i) mod p family, and docs
+    with zero shingles drop on both paths (explode emits nothing; the
+    fold path filtered size > 0). Measured 5.8x on the sf1 corpus
+    (OPTIMIZATION_r06.md)."""
+    rows = shingled.select(F.col(key), F.explode(shcol).alias("_s"))
+    a_list, b_list = _perm_consts(k, seed)
+    x = F.pmod(_hash64(F.col("_s"), hash_mode), F.lit(_MH_PRIME))
+    rows = rows.select(F.col(key), x.alias("_x"))
+    aggs = [
+        F.min(
+            F.pmod(
+                F.col("_x") * F.lit(a_list[i]) + F.lit(b_list[i]),
+                F.lit(_MH_PRIME),
+            )
+        ).alias(f"_m{i}")
+        for i in range(k)
+    ]
+    return (
+        rows.groupBy(key)
+        .agg(*aggs)
+        .select(
+            F.col(key), F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig")
+        )
     )
 
 
@@ -662,6 +688,31 @@ def simhash_from_words(wcol: F.Column, hash_mode: str = "xxhash64") -> F.Column:
     )
 
 
+def _simhash_sigs_from_word_rows(rows: DataFrame, key: str, hcol: str) -> DataFrame:
+    """(key, word_hash) rows -> (key, sh) simhash signatures via ONE
+    codegen hash aggregate: S_i = count of words whose hash has bit i
+    set; the fold formulation's counter is c_i = 2*S_i - n, so bit i of
+    the signature is set iff 2*S_i > n. 63 conditional sums + one count
+    are whole-stage-codegen over primitive longs, where the single-fold
+    zip_with walk (``simhash_from_words``) evaluates interpreted per
+    element — measured ~8x on the sf1 corpus (OPTIMIZATION_r06.md). The
+    bit composition sums 63 DISJOINT powers of two, i.e. a bitwise OR."""
+    h = F.col(hcol)
+    aggs = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(0)
+        ).alias(f"_s{i}")
+        for i in range(63)
+    ]
+    counted = rows.groupBy(key).agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(63):
+        sim = sim + F.when(
+            F.col(f"_s{i}") * 2 > F.col("_n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return counted.select(F.col(key), sim.alias("sh"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     key: str = "doc_id",
@@ -671,23 +722,23 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs via 4-block bucketing (pigeonhole: hamming<=3
     over 4 blocks guarantees one exact block match), then verify the
-    Hamming distance on candidates only. The per-doc signature DF is
-    persisted before the self-join: both join sides (and the 4 block
-    branches after projection collapse) would otherwise each recompute
-    the full hash+fold chain — ~10x the work for a DF of one long per
-    doc.
+    Hamming distance on candidates only. Signatures come from the codegen
+    aggregate formulation (``_simhash_sigs_from_word_rows``) and the
+    signature DF is persisted before the self-join: both join sides (and
+    the 4 block branches after projection collapse) would otherwise each
+    recompute the signature pass.
 
     Zero-word docs (empty/whitespace-only/NULL text) are dropped before
-    signing, mirroring minhash_signatures: their signature degenerates
-    to 0, so N such docs would share every block hash and the bucket
-    self-join would emit a C(N,2) clique of meaningless "near-dups" —
-    the exact explosion the blocking exists to prevent (and a divergence
-    from the word-level oracle, which produces no rows for them)."""
-    sh = (
-        df.filter(F.size(words(text)) > 0)
-        .select(F.col(key), simhash64(text, hash_mode).alias("sh"))
-        .persist()
-    )
+    signing (explode of an empty/NULL words array emits nothing),
+    mirroring minhash_signatures: their signature degenerates to 0, so N
+    such docs would share every block hash and the bucket self-join
+    would emit a C(N,2) clique of meaningless "near-dups" — the exact
+    explosion the blocking exists to prevent (and a divergence from the
+    word-level oracle, which produces no rows for them)."""
+    wrows = df.select(
+        F.col(key), F.explode(F.array_distinct(words(text))).alias("_w")
+    ).select(F.col(key), _hash64(F.col("_w"), hash_mode).alias("_h"))
+    sh = _simhash_sigs_from_word_rows(wrows, key, "_h").persist()
     return _simhash_pairs_from_sigs(sh, key, max_hamming)
 
 
@@ -696,7 +747,17 @@ def _simhash_pairs_from_sigs(
 ) -> DataFrame:
     """Block-bucket candidate join + Hamming verify over a (key, sh)
     signature frame (caller persists it — both join sides and the 4
-    block branches reuse it)."""
+    block branches reuse it).
+
+    Dedup WITHOUT a distinct: a pair matching in m blocks would appear m
+    times, and the old ``.distinct()`` on (a, b, sha, shb) shuffled the
+    ENTIRE candidate expansion (~237M rows at sf1 — dup-heavy corpora
+    make block buckets quadratic) a second time. Instead each pair is
+    kept only in its FIRST matching block — for block i, require every
+    earlier block to differ — a codegen filter on columns the joined row
+    already carries. Exactly one copy of each candidate survives, so the
+    output set is identical and the candidate expansion goes straight
+    from the join into the Hamming filter with zero extra exchanges."""
     blocks = sh.select(
         key,
         "sh",
@@ -714,18 +775,28 @@ def _simhash_pairs_from_sigs(
     ).select(key, "sh", "b.blk", "b.bh")
     a = blocks.select(F.col(key).alias("a"), F.col("sh").alias("sha"), "blk", "bh")
     b = blocks.select(F.col(key).alias("b"), F.col("sh").alias("shb"), "blk", "bh")
-    cand = (
+
+    def _blk(col: str, i: int) -> F.Column:
+        return F.shiftright(col, i * 16).bitwiseAND(F.lit(0xFFFF))
+
+    first_match = F.lit(True)
+    for i in range(1, 4):
+        earlier_all_differ = F.lit(True)
+        for j in range(i):
+            earlier_all_differ = earlier_all_differ & (
+                _blk("sha", j) != _blk("shb", j)
+            )
+        first_match = F.when(F.col("blk") == i, earlier_all_differ).otherwise(
+            first_match
+        )
+    return (
         a.join(b, ["blk", "bh"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sha", "shb")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
+        .withColumn(
             "hamming",
             F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("int"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .filter((F.col("hamming") <= max_hamming) & first_match)
         .select("a", "b", "hamming")
     )
 
@@ -790,11 +861,13 @@ def dedup_pipeline(
     minhash_pairs = _estimate_from_sigs(
         _banded_candidates(_banded(sigs, key, k, bands, hash_mode), key), sigs, key, k
     )
-    sim_sigs = (
-        base.filter(F.size("_w") > 0)
-        .select(F.col(key), simhash_from_words(F.col("_w"), hash_mode).alias("sh"))
-        .persist()
-    )
+    sim_sigs = _simhash_sigs_from_word_rows(
+        base.select(F.col(key), F.explode("_w").alias("_we")).select(
+            F.col(key), _hash64(F.col("_we"), hash_mode).alias("_h")
+        ),
+        key,
+        "_h",
+    ).persist()
     simhash_pairs = _simhash_pairs_from_sigs(sim_sigs, key, max_hamming)
     return {
         "exact": exact,

@@ -985,16 +985,22 @@ def _sig_verify_pairs(
     self-dot m-1 times — measured 3x on the sf0.1 driver query. The
     per-pair work is exactly one dot product + one divide, and the
     dot/(na*nb) composition is the same IEEE expression the one-norm
-    formulations evaluate, so scores are bit-identical."""
+    formulations evaluate, so scores are bit-identical.
+
+    ``quantized=True`` dispatches to the vectorized per-bucket verify
+    (``_sig_verify_pairs_quantized_np``): the quantized chain is exact
+    integer math, which numpy reproduces bit-for-bit, so the per-pair
+    dot can run as one BLAS matmul per bucket instead of millions of
+    interpreted zip_with folds (guide §4.2; measured ~50x at sf1). The
+    float path stays JVM-side: a numpy float accumulation re-orders the
+    sum and flips last-ulp bits, which the quantized design exists to
+    avoid."""
     vcol = F.col(vec_col)
     if quantized:
-        sigs = sigs.select(
-            F.col(id_col), _quantize(vcol, scale).alias("__qv"), F.col("sig")
+        return _sig_verify_pairs_quantized_np(
+            sigs, threshold, id_col, vec_col, scale
         )
-        vec_col = "__qv"
-        sigs = sigs.withColumn("__n", _qnorm(F.col(vec_col)))
-    else:
-        sigs = sigs.withColumn("__n", l2_norm(vcol))
+    sigs = sigs.withColumn("__n", l2_norm(vcol))
     # zero-norm rows drop on BOTH paths: cosine() would NULL them out
     # post-join anyway (never NaN-first), so pre-filtering is equivalent
     # and skips their pair fan-out entirely
@@ -1011,17 +1017,104 @@ def _sig_verify_pairs(
         F.col("__n").alias("nb"),
         F.col("sig"),
     )
-    prod = (
-        _qdot(F.col("va"), F.col("vb")).cast("double")
-        if quantized
-        else dot(F.col("va"), F.col("vb"))
-    )
+    prod = dot(F.col("va"), F.col("vb"))
     return (
         a.join(b, "sig")
         .filter(F.col("a") < F.col("b"))
         .withColumn("cos_sim", prod / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
+    )
+
+
+def _sig_verify_pairs_quantized_np(
+    sigs: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> DataFrame:
+    """Quantized same-bucket verify as ONE numpy Gram pass per signature
+    bucket (applyInPandas), replacing the pair self-join + per-pair
+    interpreted zip_with dot. Bit-identical to the join formulation:
+
+      * quantize: floor(float->double * scale) — np.floor over float64
+        is the same IEEE op sequence;
+      * dot: every product is <= scale^2 (2^28) and every partial sum
+        <= dim * scale^2 (< 2^53 for any practical dim), so the float64
+        matmul accumulates EXACT integers — no rounding at any step,
+        regardless of BLAS summation order or FMA;
+      * score: dot / (sqrt(na2) * sqrt(nb2)) — one rounded sqrt per row
+        and one rounded multiply + divide per pair, the identical
+        expression shape the JVM path evaluates (IEEE 754 on both);
+      * the a < b canonicalization compares IDS (not positions), exactly
+        like the join filter, so duplicate-id rows drop the same way;
+      * zero-norm rows drop up front (the __n > 0 filter's twin).
+
+    Memory: the per-bucket group is materialized in pandas (m rows x
+    dim), and the Gram matrix is computed in row blocks of 2048 so the
+    transient score block is O(2048 * m) — the bucket membership itself
+    is the algorithmic bound (a bucket whose C(m,2) pair set is
+    infeasible to emit is infeasible under ANY formulation; n_bits
+    controls m at scale)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = sigs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("a", id_type),
+            T.StructField("b", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+    sc = float(scale)
+
+    def verify(pdf):
+        ids = pdf[id_col].to_numpy()
+        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        q = np.floor(v * sc)
+        na2 = (q * q).sum(axis=1)
+        keep = na2 > 0
+        ids, q, na2 = ids[keep], q[keep], na2[keep]
+        m = len(ids)
+        empty = pd.DataFrame(
+            {
+                "a": np.array([], dtype=ids.dtype),
+                "b": np.array([], dtype=ids.dtype),
+                "cos_sim": np.array([], dtype=np.float64),
+            }
+        )
+        if m < 2:
+            return empty
+        order = np.argsort(ids, kind="stable")
+        ids, q = ids[order], q[order]
+        norms = np.sqrt(na2[order])
+        outs = []
+        step = 2048
+        for s0 in range(0, m, step):
+            blk = slice(s0, min(s0 + step, m))
+            gram = q[blk] @ q.T
+            cos = gram / (norms[blk, None] * norms[None, :])
+            ii, jj = np.nonzero(cos >= thr)
+            mask = ids[s0 + ii] < ids[jj]
+            ii, jj = ii[mask], jj[mask]
+            if len(ii):
+                outs.append(
+                    pd.DataFrame(
+                        {"a": ids[s0 + ii], "b": ids[jj], "cos_sim": cos[ii, jj]}
+                    )
+                )
+        return pd.concat(outs) if outs else empty
+
+    # NULL vectors drop here (the old path's __n > 0 filter caught them
+    # post-quantize; np.stack would die on them)
+    return (
+        sigs.select(F.col(id_col), F.col(vec_col), F.col("sig"))
+        .filter(F.col(vec_col).isNotNull())
+        .groupBy("sig")
+        .applyInPandas(verify, out_schema)
     )
 
 

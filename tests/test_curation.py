@@ -105,10 +105,17 @@ def test_repetition_profile_degenerate_inputs(spark):
     assert rows[4]["passes_repetition"] is True
 
 
-def test_repetition_profile_is_shuffle_free(spark):
+def test_repetition_profile_partial_aggregated(spark):
+    """r6: the shuffle-free HOF-fold formulation was replaced by explode
+    + codegen hash aggregates (the fold evaluated an interpreted
+    struct-building lambda per word — measured ~6x slower at sf1, see
+    OPTIMIZATION_r06.md). The exchanges must carry partial-aggregated
+    (doc, word) counts (map-side combine), and the per-word interpreted
+    run-length fold must be gone from the plan."""
     d = _docs(spark, [(1, "a b c")])
     plan = cur.repetition_profile(d)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "partial_count" in plan, "map-side combine before the exchange"
+    assert "greatest(" not in plan, "interpreted run-length fold resurfaced"
 
 
 # ---------------------------------------------------------------------------
