@@ -40,6 +40,9 @@ from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E4
 from aws_serverless_elt_pipeline_enterprise_spark.functions import (  # noqa: E402
     tokens as tk,
 )
+from aws_serverless_elt_pipeline_enterprise_spark.functions.parallel import (  # noqa: E402
+    spread_small_input,
+)
 from aws_serverless_elt_pipeline_enterprise_spark.operators import (  # noqa: E402
     scd,
 )
@@ -168,8 +171,11 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsing, lambdas/shared/utils.py:74-94). One typed from_json parse —
     get_json_object re-parses the whole JSON string PER extracted path,
     so k extractions cost k parses; the typed parse costs one and scales
-    to wide payloads (r3's slowest 'simple' query, 0.90s -> ~0.6s)."""
-    ev = _t(spark, sf_dir, "events")
+    to wide payloads (r3's slowest 'simple' query, 0.90s -> ~0.6s).
+    spread_small_input: the events file is a single parquet row group,
+    so the scan cannot split — without the spread the 1M-row JSON parse
+    runs in ONE task (guide §2.6; 7.1s -> 1.5s at sf1)."""
+    ev = spread_small_input(_t(spark, sf_dir, "events"), "event_id")
     return ev.select(
         "event_id",
         F.from_json("props", "k int").getField("k").alias("k_val"),
@@ -195,8 +201,10 @@ def q_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_field_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: coalesce-style field fallbacks + constant literals + casts
-    (reference transform_record, ups_shipping/handler.py:31-49)."""
-    ev = _t(spark, sf_dir, "events")
+    (reference transform_record, ups_shipping/handler.py:31-49).
+    spread_small_input: one-row-group events file, per-row JSON path
+    probe — same single-task-scan fix as q_json_extract."""
+    ev = spread_small_input(_t(spark, sf_dir, "events"), "event_id")
     return ev.select(
         "event_id",
         F.coalesce(
@@ -393,13 +401,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features (ratios are int/int -> IEEE-exact)."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id")
     return tx.quality_features(d).orderBy("doc_id")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language-ID heuristic."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id", tx.lang_id_heuristic("text").alias("lang_guess")
     ).orderBy("doc_id")
@@ -494,7 +502,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle verifies concatenation order, not just counts). The raw
     array<int> is projected to that string hash because the driver
     canonicalizer cannot sort/hash list cells."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         "doc_id",
         F.transform(
@@ -539,7 +547,7 @@ def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-chunk interpreted transform — md5(array_join) over sliced
     # strings is byte-identical to stringifying the sliced ints
     ch = tk.chunk_sequences(
-        d.select(
+        spread_small_input(d, "doc_id").select(
             "doc_id",
             F.transform(
                 tx.words("text"),
@@ -1145,7 +1153,7 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline computes): tokenize with the portable 60-bit hash
     mod vocab, explode, count, top-50. One explode + one partial-agg
     shuffle + TakeOrderedAndProject."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id")
     tok = F.explode(
         F.transform(
             tx.words("text"),

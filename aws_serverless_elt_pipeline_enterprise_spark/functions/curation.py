@@ -8,10 +8,10 @@ All three are map-heavy by design — the 100 TB shapes are:
   against a 100 TB corpus), so its shingle set is broadcast and the corpus
   side is a map-only semi-join probe plus one bounded groupBy(doc) —
   never a corpus x corpus shuffle;
-- repetition metrics: pure higher-order functions over the per-doc token
-  array — zero shuffles, whole-stage codegen, scales embarrassingly (the
-  alternative explode + groupBy(doc, word) moves O(corpus tokens) through
-  two shuffles for a per-doc statistic);
+- repetition metrics: explode + codegen hash aggregates with map-side
+  partial aggregation (the zero-shuffle HOF-fold alternative evaluates
+  an interpreted lambda per token — measured ~6x slower; the exchanges
+  carry partially-aggregated (doc, word) counts, O(corpus tokens) once);
 - sampling: one deterministic hash per row, map-only, no sampleBy() RNG —
   reruns and retried tasks pick the identical sample, which is what makes
   the sample reproducible lineage rather than a one-off.
@@ -32,6 +32,9 @@ from aws_serverless_elt_pipeline_enterprise_spark.functions.dedupe import (
     _hash64,
     shingle_explode,
     word_shingles,
+)
+from aws_serverless_elt_pipeline_enterprise_spark.functions.parallel import (
+    spread_small_input,
 )
 from aws_serverless_elt_pipeline_enterprise_spark.functions.text import words
 
@@ -72,7 +75,9 @@ def contaminated_docs(
         .select(_hash64(F.col("shingle"), hash_mode).alias("h"))
         .distinct()
     )
-    corpus_sh = shingle_explode(df, key=key, text=text, n=n).select(
+    corpus_sh = shingle_explode(
+        spread_small_input(df, key), key=key, text=text, n=n
+    ).select(
         F.col(key), _hash64(F.col("shingle"), hash_mode).alias("h")
     )
     return (
@@ -140,8 +145,16 @@ def repetition_profile(
     keys.
     """
     w = words(text)
-    base = df.select(F.col(key), w.alias("_w")).select(
-        F.col(key), F.col("_w"), F.size("_w").alias("_n")
+    # ONE tokenize pass shared by all three consumers (the row branch,
+    # word stats, bigram stats): unpersisted, each branch would re-scan
+    # and re-split the corpus (the n-gram family's minhash_lsh_pairs
+    # precedent — the persist lives until the caller clears the cache,
+    # as bench.py does between repetitions)
+    base = (
+        spread_small_input(df, key)
+        .select(F.col(key), w.alias("_w"))
+        .select(F.col(key), F.col("_w"), F.size("_w").alias("_n"))
+        .persist()
     )
     # word multiplicities: max multiplicity == longest equal-run of the
     # sorted array; |distinct| and the re-derived n cross-check nothing —

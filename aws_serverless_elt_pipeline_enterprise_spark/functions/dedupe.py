@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aws_serverless_elt_pipeline_enterprise_spark.functions.parallel import (
+    shuffle_parallelism,
+    spread_small_input,
+)
 from aws_serverless_elt_pipeline_enterprise_spark.functions.text import (
     content_fingerprint,
     words,
@@ -122,7 +126,7 @@ def ngram_jaccard_pairs(
     identical up to hash collisions (negligible at 2^-60..2^-64 per
     pair); 'portable' uses the md5-derived family, so an external SQL
     oracle replays the hashed chain exactly, collisions included."""
-    sh = shingle_explode(df, key, text, n)
+    sh = shingle_explode(spread_small_input(df, key), key, text, n)
     if hash_shingles:
         sh = sh.select(
             F.col(key), _hash64(F.col("shingle"), hash_shingles).alias("shingle")
@@ -177,6 +181,12 @@ def _pairs_from_shingle_rows(
         overlap = (
             posts.filter(F.size("docs") >= 2)
             .select(F.array_sort("docs").alias("_d"))
+            # explicit USER partition count: the posting shuffle is tiny
+            # in bytes, so AQE would coalesce it to a handful of tasks —
+            # which then each generate millions of pairs (the fan-out is
+            # invisible to byte-based coalescing). A user-specified
+            # repartition pins the expansion's parallelism.
+            .repartition(shuffle_parallelism(posts))
             .select("_d", F.posexplode("_d").alias("_i", "a"))
             .select("a", "_i", F.posexplode("_d").alias("_j", "b"))
             .filter(F.col("_j") > F.col("_i"))
@@ -278,7 +288,9 @@ def minhash_signatures(
     [INTERNAL_ERROR] Cannot evaluate expression (session-order-dependent
     planner behavior on Spark 4.1) — a flaky correctness gate is worth
     more than 15% on one stage."""
-    shingled = df.select(F.col(key), word_shingles(text, n).alias("_sh"))
+    shingled = spread_small_input(df, key).select(
+        F.col(key), word_shingles(text, n).alias("_sh")
+    )
     return _sigs_from_shingled(shingled, key, "_sh", k, seed, hash_mode)
 
 
@@ -491,15 +503,20 @@ def _star_components(pairs: DataFrame, max_iter: int) -> tuple[DataFrame, int, b
     ~log D rounds where min-label propagation needs D. Returns
     (labels, rounds_used, converged); labels cover every node of
     ``pairs`` with the component-min as the label."""
+    # pairs evaluated ONCE: checkpoint the raw pair set first, then
+    # derive nodes and edges from the checkpointed blocks — nodes and
+    # edges each checkpointing straight off ``pairs`` re-ran the whole
+    # upstream pair-generation plan twice (measured: the full n-gram
+    # chain, seconds per extra pass at sf1)
+    raw = pairs.select("a", "b").localCheckpoint(eager=True)
     nodes = (
-        pairs.select(F.col("a").alias("node"))
-        .union(pairs.select(F.col("b").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     edges = (
-        pairs.select("a", "b")
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -531,7 +548,10 @@ def _star_components(pairs: DataFrame, max_iter: int) -> tuple[DataFrame, int, b
 def _propagate(pairs: DataFrame, max_iter: int) -> tuple[DataFrame, bool]:
     """Min-label propagation rounds; returns (labels, converged) where
     converged means some round reported zero label changes."""
-    edges = pairs.select("a", "b")
+    # checkpoint the raw pairs BEFORE mirroring: union's two branches
+    # would otherwise each re-run the whole upstream pair-generation
+    # plan (one full n-gram chain per branch at sf1)
+    edges = pairs.select("a", "b").localCheckpoint(eager=True)
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
@@ -735,7 +755,7 @@ def simhash_near_dup_pairs(
     would emit a C(N,2) clique of meaningless "near-dups" — the exact
     explosion the blocking exists to prevent (and a divergence from the
     word-level oracle, which produces no rows for them)."""
-    wrows = df.select(
+    wrows = spread_small_input(df, key).select(
         F.col(key), F.explode(F.array_distinct(words(text))).alias("_w")
     ).select(F.col(key), _hash64(F.col("_w"), hash_mode).alias("_h"))
     sh = _simhash_sigs_from_word_rows(wrows, key, "_h").persist()
@@ -832,7 +852,7 @@ def dedup_pipeline(
     same parameters (tested). The persisted intermediates live until the
     session drops them — call ``spark.catalog.clearCache()`` when done."""
     base = (
-        df.filter(F.col(text).isNotNull())
+        spread_small_input(df, key).filter(F.col(text).isNotNull())
         .select(
             F.col(key),
             F.array_distinct(words(text)).alias("_w"),

@@ -47,25 +47,38 @@ def bpe_ish_token_count(col: str = "text") -> F.Column:
 def stopword_hits(lang: str, col: str = "text") -> F.Column:
     """Count of tokens that are stopwords of `lang` (array intersection
     semantics, but keeping duplicates: filter + size)."""
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(words(col), lambda t: F.array_contains(sw, t)))
+    return _hits_in(words(col), lang)
+
+
+def _hits_in(w: F.Column, lang: str) -> F.Column:
+    sw = F.array(*[F.lit(x) for x in STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
 
 
 def lang_id_heuristic(col: str = "text") -> F.Column:
     """Pick the language whose stopword list hits most. Deterministic tie
     break: struct comparison falls through to the lang string, so the
     lexicographically LAST language wins a tie. Swap the lists for
-    fastText-style profiles in prod."""
-    pairs = F.array(
-        *[
-            F.struct(
-                stopword_hits(lang, col).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang in sorted(STOPWORDS)
-        ]
-    )
-    return F.array_max(pairs)["lang"]
+    fastText-style profiles in prod.
+
+    The words array is BOUND as a lambda variable (transform-over-
+    singleton, the word_shingles idiom): four per-language hit counts
+    referencing words() directly would re-split the document four
+    times."""
+
+    def guess(w: F.Column) -> F.Column:
+        pairs = F.array(
+            *[
+                F.struct(
+                    _hits_in(w, lang).alias("hits"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in sorted(STOPWORDS)
+            ]
+        )
+        return F.array_max(pairs)["lang"]
+
+    return F.transform(F.array(words(col)), guess)[0]
 
 
 def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
@@ -74,10 +87,18 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     (ge_validate_silver.py:36-53) applied to text instead of invoices."""
     c = F.col(col)
     n_chars = F.length(c)
-    n_words = ws_token_count(col)
     n_spaces = n_chars - F.length(F.replace(c, F.lit(" "), F.lit("")))
     n_punct = F.regexp_count(c, F.lit(r"[\.,;:!\?]"))
-    en_hits = stopword_hits("en", col)
+    # words bound once (transform-over-singleton): n_words and en_hits
+    # referencing words() separately would split the document twice
+    wq = F.transform(
+        F.array(words(col)),
+        lambda w: F.struct(
+            F.size(w).alias("n"), _hits_in(w, "en").alias("en")
+        ),
+    )[0]
+    n_words = wq["n"]
+    en_hits = wq["en"]
     return df.select(
         "doc_id",
         n_chars.alias("n_chars_m"),
