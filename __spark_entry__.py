@@ -288,24 +288,20 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile aggregate (sort-based, engine-portable).
 
-    Two-level formulation: a codegen hash-aggregate first collapses the
-    rows to (flag, price, frequency), then ONE frequency-weighted
-    percentile aggregate computes both percentiles together. Identical
-    math to two plain percentile() calls — Percentile's buffer is a
-    value->count map either way, and frequencies feed the same
-    accumulated-count interpolation — but the object-hash percentile
-    buffer is built/merged over distinct values instead of raw rows,
-    once instead of twice (two percentile aggs each built their own map
-    over all 6M rows at sf1: 19.3s -> 5.0s, OPTIMIZATION_r06.md)."""
+    ONE percentile aggregate evaluating BOTH percentages instead of two
+    independent percentile aggs: each percentile() call builds and
+    merges its own value->count object-hash buffer over every row, so
+    asking for [0.5, 0.95] together halves the buffer work and the
+    merge — identical math (the same sorted-counts interpolation is
+    evaluated per requested percentage against one buffer). A
+    (flag, price, frequency) pre-aggregate feeding a frequency-weighted
+    percentile was tried and was SLOWER (8s vs 5s at sf1: prices are
+    ~76% distinct, so the pre-agg pays an extra exchange to shrink
+    almost nothing — OPTIMIZATION_r06.md); 19.3s -> ~5s at sf1."""
     li = _t(spark, sf_dir, "lineitem")
-    counted = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count(F.lit(1)).alias("_f")
-    )
     return (
-        counted.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_extendedprice", [0.5, 0.95], F.col("_f")).alias("_p")
-        )
+        li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", [0.5, 0.95]).alias("_p"))
         .select(
             "l_returnflag",
             F.col("_p")[0].alias("median_price"),

@@ -791,8 +791,81 @@ class SnapshotTable:
             )
 
         empty = self._empty(schema)
+        # Single-pass two-version resolve: for a MOR-only span with no
+        # in-span schema change (the steady-state incremental-consumer
+        # shape), the after-side row set is exactly the before-side rows
+        # PLUS the added deltas — so instead of two LWW resolves (each a
+        # key shuffle over the overlapping chains) joined full-outer,
+        # ONE aggregate over the union computes both winners: wa =
+        # max_by restricted to before-visible rows, wb = max_by over
+        # all. Identical winners by construction (same ordering struct,
+        # max_by ignores NULL-keyed rows), and a key absent at v_from
+        # yields wa = NULL exactly where the full-outer join yielded a
+        # NULL a-side. Gated off when the span rewrote buckets, evolved
+        # the schema (the tie hash is type-sensitive, so the before side
+        # must tie-break under its own column types — the two-read path
+        # preserves that), or dropped delta dirs (minor compaction):
+        # those fall back to the two-read join.
+        single_pass = (
+            m_from is not None
+            and fb == tb
+            and bool(added_g)
+            and m_from["schema"] == m_to["schema"]
+            and fg <= set(m_to.get("global_deltas", []))
+        )
         if not cand:
             j = side(empty, "a").join(side(empty, "b"), "__k", "full")
+        elif single_pass:
+            bs = sorted(cand)
+            common = self.read(v_from, buckets=bs, resolve=False)
+            added = gdf.filter(F.col(self.BUCKET_COL).isin(*bs))
+            rows = common.withColumn(
+                "__in_from", F.lit(True)
+            ).unionByName(added.withColumn("__in_from", F.lit(False)))
+            if delta_keys is not None:
+                rows = rows.join(
+                    delta_keys, F.col(self.key_col) == F.col("__dk"), "leftsemi"
+                )
+            if key_pred is not None:
+                rows = rows.filter(key_pred)
+            others = payload + [self.SEQ_COL, self.DEL_COL, self.BUCKET_COL]
+            tie = F.xxhash64(
+                *[F.col(c) for c in payload], F.col(self.DEL_COL)
+            )
+            ordk = F.struct(F.col(self.SEQ_COL), tie)
+            val = F.struct(*[F.col(c) for c in others])
+            fr = F.col("__in_from")
+            j = (
+                rows.groupBy(F.col(self.key_col).alias("__k"))
+                .agg(
+                    F.max_by(
+                        F.when(fr, val), F.when(fr, ordk)
+                    ).alias("__wa"),
+                    F.max_by(val, ordk).alias("__wb"),
+                )
+                .select(
+                    "__k",
+                    *[
+                        F.col(f"__w{t}.{c}").alias(f"__{t}_{c}")
+                        for t in ("a", "b")
+                        for c in payload
+                    ],
+                    F.col(f"__wa.{self.SEQ_COL}").alias("__seq_a"),
+                    F.when(
+                        F.col("__wa").isNotNull(),
+                        F.coalesce(
+                            F.col(f"__wa.{self.DEL_COL}"), F.lit(False)
+                        ),
+                    ).alias("__del_a"),
+                    F.col(f"__wb.{self.SEQ_COL}").alias("__seq_b"),
+                    F.when(
+                        F.col("__wb").isNotNull(),
+                        F.coalesce(
+                            F.col(f"__wb.{self.DEL_COL}"), F.lit(False)
+                        ),
+                    ).alias("__del_b"),
+                )
+            )
         else:
             bs = sorted(cand)
             # the BEFORE side reads under v_from's (possibly narrower)
