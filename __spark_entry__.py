@@ -397,13 +397,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features (ratios are int/int -> IEEE-exact)."""
-    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id")
+    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id", min_bytes=1 << 20)
     return tx.quality_features(d).orderBy("doc_id")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language-ID heuristic."""
-    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id")
+    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id", min_bytes=1 << 20)
     return d.select(
         "doc_id", tx.lang_id_heuristic("text").alias("lang_guess")
     ).orderBy("doc_id")
@@ -498,7 +498,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle verifies concatenation order, not just counts). The raw
     array<int> is projected to that string hash because the driver
     canonicalizer cannot sort/hash list cells."""
-    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id")
+    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id", min_bytes=1 << 20)
     toks = d.select(
         "doc_id",
         F.transform(
@@ -543,7 +543,7 @@ def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-chunk interpreted transform — md5(array_join) over sliced
     # strings is byte-identical to stringifying the sliced ints
     ch = tk.chunk_sequences(
-        spread_small_input(d, "doc_id").select(
+        spread_small_input(d, "doc_id", min_bytes=1 << 20).select(
             "doc_id",
             F.transform(
                 tx.words("text"),
@@ -1149,7 +1149,7 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline computes): tokenize with the portable 60-bit hash
     mod vocab, explode, count, top-50. One explode + one partial-agg
     shuffle + TakeOrderedAndProject."""
-    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id")
+    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id", min_bytes=1 << 20)
     tok = F.explode(
         F.transform(
             tx.words("text"),

@@ -76,7 +76,7 @@ def contaminated_docs(
         .distinct()
     )
     corpus_sh = shingle_explode(
-        spread_small_input(df, key), key=key, text=text, n=n
+        spread_small_input(df, key, min_bytes=1 << 20), key=key, text=text, n=n
     ).select(
         F.col(key), _hash64(F.col("shingle"), hash_mode).alias("h")
     )
@@ -151,7 +151,7 @@ def repetition_profile(
     # precedent — the persist lives until the caller clears the cache,
     # as bench.py does between repetitions)
     base = (
-        spread_small_input(df, key)
+        spread_small_input(df, key, min_bytes=1 << 20)
         .select(F.col(key), w.alias("_w"))
         .select(F.col(key), F.col("_w"), F.size("_w").alias("_n"))
         .persist()

@@ -126,7 +126,9 @@ def ngram_jaccard_pairs(
     identical up to hash collisions (negligible at 2^-60..2^-64 per
     pair); 'portable' uses the md5-derived family, so an external SQL
     oracle replays the hashed chain exactly, collisions included."""
-    sh = shingle_explode(spread_small_input(df, key), key, text, n)
+    sh = shingle_explode(
+        spread_small_input(df, key, min_bytes=1 << 20), key, text, n
+    )
     if hash_shingles:
         sh = sh.select(
             F.col(key), _hash64(F.col("shingle"), hash_shingles).alias("shingle")
@@ -288,7 +290,7 @@ def minhash_signatures(
     [INTERNAL_ERROR] Cannot evaluate expression (session-order-dependent
     planner behavior on Spark 4.1) — a flaky correctness gate is worth
     more than 15% on one stage."""
-    shingled = spread_small_input(df, key).select(
+    shingled = spread_small_input(df, key, min_bytes=1 << 20).select(
         F.col(key), word_shingles(text, n).alias("_sh")
     )
     return _sigs_from_shingled(shingled, key, "_sh", k, seed, hash_mode)
@@ -755,7 +757,7 @@ def simhash_near_dup_pairs(
     would emit a C(N,2) clique of meaningless "near-dups" — the exact
     explosion the blocking exists to prevent (and a divergence from the
     word-level oracle, which produces no rows for them)."""
-    wrows = spread_small_input(df, key).select(
+    wrows = spread_small_input(df, key, min_bytes=1 << 20).select(
         F.col(key), F.explode(F.array_distinct(words(text))).alias("_w")
     ).select(F.col(key), _hash64(F.col("_w"), hash_mode).alias("_h"))
     sh = _simhash_sigs_from_word_rows(wrows, key, "_h").persist()
@@ -852,7 +854,8 @@ def dedup_pipeline(
     same parameters (tested). The persisted intermediates live until the
     session drops them — call ``spark.catalog.clearCache()`` when done."""
     base = (
-        spread_small_input(df, key).filter(F.col(text).isNotNull())
+        spread_small_input(df, key, min_bytes=1 << 20)
+        .filter(F.col(text).isNotNull())
         .select(
             F.col(key),
             F.array_distinct(words(text)).alias("_w"),

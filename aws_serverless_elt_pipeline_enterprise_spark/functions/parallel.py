@@ -29,25 +29,52 @@ def shuffle_parallelism(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
+MIN_SPREAD_BYTES = 4 << 20
+
+
 def spread_small_input(
-    df: DataFrame, key: str | None = None, target: int | None = None
+    df: DataFrame,
+    key: str | None = None,
+    target: int | None = None,
+    min_bytes: int = MIN_SPREAD_BYTES,
 ) -> DataFrame:
     """Repartition iff the frame currently has fewer partitions than the
-    session's shuffle parallelism. Use directly after a scan that feeds
-    per-row-expensive map work. The partition probe is plan-time only
-    (no job); the repartition count is user-specified, so AQE will not
-    re-coalesce it.
+    session's shuffle parallelism AND carries enough input bytes for the
+    exchange to pay for itself. Use directly after a scan that feeds
+    per-row-expensive map work. The partition/size probes are plan-time
+    only (file listing, no job); the repartition count is
+    user-specified, so AQE will not re-coalesce it.
 
     Pass the row ``key`` whenever one exists: hash repartitioning is
     retry-deterministic by content, while a keyless round-robin
     repartition first pays a LOCAL SORT of every column
     (spark.sql.execution.sortBeforeRepartition, guide §2.5) — measured
     2-4s serialized into the very 1-2 scan tasks the spread exists to
-    relieve."""
+    relieve.
+
+    ``min_bytes`` (default 4 MB of source parquet): an exchange has
+    ~100ms of fixed stage/scheduling cost; below a few MB of input
+    there is no serialized work worth parallelizing (measured: the
+    sf0.1 events table, 1.6 MB, LOST ~1s to an unconditional spread
+    while the sf1 table, 16 MB, gained 3-5s). Unknown input size (no
+    file-backed scan) falls back to spreading on partition count
+    alone."""
     if target is None:
         target = shuffle_parallelism(df)
     if df.rdd.getNumPartitions() >= target:
         return df
+    try:
+        import os
+        from urllib.parse import urlparse
+
+        files = df.inputFiles()
+        total = sum(
+            os.path.getsize(urlparse(f).path or f) for f in files
+        )
+        if files and total < min_bytes:
+            return df
+    except Exception:
+        pass  # undeterminable input size: spread on partition count
     if key is not None:
         from pyspark.sql import functions as F
 

@@ -38,6 +38,11 @@ def main() -> None:
         default=None,
         help="suffix tag: write plans/r06/<query>_<TAG>.txt for each query",
     )
+    ap.add_argument(
+        "--plans-only",
+        action="store_true",
+        help="capture plans without timed noop runs",
+    )
     args = ap.parse_args()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -59,7 +64,8 @@ def main() -> None:
         return dt
 
     # discarded warmup (same as bench.py)
-    run_once(qs["cdc_final_state"])
+    if not args.plans_only:
+        run_once(qs["cdc_final_state"])
     out: dict[str, dict] = {}
     for name in names:
         if name not in qs:
@@ -72,6 +78,9 @@ def main() -> None:
                 f.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
             spark.catalog.clearCache()
+            print(f"plan written: {name}", file=sys.stderr, flush=True)
+        if args.plans_only:
+            continue
         spark.sparkContext.setJobDescription(f"bench_extra:{name}")
         times = sorted(run_once(qs[name]) for _ in range(args.repeats))
         spark.sparkContext.setJobDescription(None)
