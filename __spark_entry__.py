@@ -747,13 +747,16 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    chg = ev.select(
+    chg = spread_small_input(
+        ev.select(
         F.when(F.col("event_type") == "error", F.lit("delete"))
         .otherwise(F.lit("update"))
         .alias("op"),
         F.col("user_id").cast("string").alias("doc_id"),
         F.col("event_id").alias("seq"),
         F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+    ),
+        "doc_id",
     )
     root = _fresh_call_root("plk", sf_dir)
     table = SnapshotTable(
@@ -951,7 +954,8 @@ def q_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    chg = ev.select(
+    chg = spread_small_input(
+        ev.select(
         F.when(F.col("event_type") == "error", F.lit("delete"))
         .otherwise(F.lit("update"))
         .alias("op"),
@@ -959,6 +963,8 @@ def q_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("seq"),
         F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
         F.when(F.col("event_type") != "error", F.col("event_type")).alias("etype"),
+    ),
+        "doc_id",
     )
     root = _fresh_call_root("gde", sf_dir)
     table = SnapshotTable(
@@ -983,7 +989,8 @@ def q_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    chg = ev.select(
+    chg = spread_small_input(
+        ev.select(
         F.when(F.col("event_type") == "error", F.lit("delete"))
         .otherwise(F.lit("update"))
         .alias("op"),
@@ -991,6 +998,8 @@ def q_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("seq"),
         F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
         F.when(F.col("event_type") != "error", F.col("event_type")).alias("etype"),
+    ),
+        "doc_id",
     )
     root = _fresh_call_root("dk", sf_dir)
     table = SnapshotTable(
